@@ -79,8 +79,13 @@ def rand3(co, xp=np):
 
 
 def rand2_range(co, lo, hi, xp=np):
-    """GLSL `Rand(vec2, min, max)` (rand.comp:6-8)."""
-    return _F32(lo) + (_F32(hi) - _F32(lo)) * rand2(co, xp=xp)
+    """GLSL `Rand(vec2, min, max)` (rand.comp:6-8).
+
+    `lo`/`hi` may be scalars or arrays broadcasting against `co[..., 0]`
+    (the metal scatter passes per-ray fuzz bounds)."""
+    lo = _f(lo, xp)
+    hi = _f(hi, xp)
+    return lo + (hi - lo) * rand2(co, xp=xp)
 
 
 def rand_vec3(co, xp=np):
