@@ -1,0 +1,109 @@
+"""Engine facade tests: render step, edits, benchmark, scene IO."""
+
+import numpy as np
+
+from zig_vulkan_tpu.config import (
+    CameraConfig,
+    DenoiserConfig,
+    EngineConfig,
+    SunConfig,
+    TraceConfig,
+)
+from zig_vulkan_tpu.engine.engine import VoxelRT, device_name
+from zig_vulkan_tpu.models.scenes import flat_test_scene
+
+
+def small_engine(**overrides):
+    sc = flat_test_scene(dim=8)
+    cfg = EngineConfig(
+        internal_resolution_width=32,
+        internal_resolution_height=24,
+        camera=CameraConfig(origin=(4.0, 6.5, 15.0), samples_per_pixel=1,
+                            max_bounce=0),
+        sun=SunConfig(enabled=False),
+        denoiser=DenoiserConfig(enabled=False),
+        trace=TraceConfig(max_steps=256),
+        **overrides,
+    )
+    return VoxelRT(sc.grid, sc.materials, cfg)
+
+
+def test_draw_produces_image_and_metrics():
+    rt = small_engine()
+    img = rt.draw(dt=0.016)
+    arr = np.asarray(img)
+    assert arr.shape == (24, 32, 3)
+    assert np.isfinite(arr).all()
+    assert rt.metrics.frame_count == 1
+    assert rt.metrics.summary()["avg_ms"] > 0
+
+
+def test_output_resolution_decoupled():
+    rt = small_engine(output_resolution_width=64, output_resolution_height=48)
+    img = np.asarray(rt.render())
+    assert img.shape == (48, 64, 3)
+
+
+def test_camera_motion_changes_image_without_retrace():
+    rt = small_engine()
+    a = np.asarray(rt.render())
+    rt.camera.translate(1.0, [1.0, 0.0, 0.0])
+    rt.camera.turn_yaw(0.5)
+    b = np.asarray(rt.render())
+    assert not np.array_equal(a, b)
+    assert len(rt._step_cache) == 1  # same static config -> one trace
+
+
+def test_insert_and_remove_voxels_visible():
+    rt = small_engine()
+    before = np.asarray(rt.render())
+    # drop a big block right in front of the camera path
+    xs, ys, zs = np.meshgrid(np.arange(8, 24), np.arange(8, 24),
+                             np.arange(28, 31), indexing="ij")
+    xyz = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=-1)
+    rt.insert_voxels(xyz, np.full(xyz.shape[0], 7, dtype=np.uint8))
+    after = np.asarray(rt.render())
+    assert not np.array_equal(before, after)
+    rt.remove_voxels(xyz)
+    removed = np.asarray(rt.render())
+    np.testing.assert_allclose(removed, before, atol=1e-6)
+
+
+def test_sun_toggle_rebuilds_step():
+    rt = small_engine()
+    rt.render()
+    rt.sun.device_data.enabled = True
+    rt.render()
+    assert len(rt._step_cache) == 2
+
+
+def test_benchmark_runs_and_reports():
+    rt = small_engine()
+    bench = rt.run_benchmark(duration=0.2, max_frames=5, verbose=False)
+    assert bench.report.delta_time_sum_samples >= 1
+    text = bench.report.format(device_name(), rt.camera.d_camera, False)
+    assert "BENCHMARK REPORT" in text
+    assert "Min frame time" in text
+    # camera reset after benchmark (Benchmark usage contract)
+    assert not rt.camera.user_input_disabled
+
+
+def test_scene_save_load_roundtrip(tmp_path):
+    from zig_vulkan_tpu.io.scene_io import load_scene
+
+    rt = small_engine()
+    p = str(tmp_path / "scene.npz")
+    rt.save_scene(p)
+    grid, mats = load_scene(p)
+    assert grid.static == rt.grid_static
+    np.testing.assert_array_equal(grid.arrays.occupancy,
+                                  np.asarray(rt.arrays.occupancy))
+    np.testing.assert_array_equal(mats.albedo, rt.materials_host.albedo)
+
+
+def test_set_denoiser_knobs():
+    rt = small_engine()
+    rt.set_denoiser(enabled=True, samples=4)
+    img = np.asarray(rt.render())
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all()

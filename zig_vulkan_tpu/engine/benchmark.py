@@ -1,0 +1,148 @@
+"""60-second fly-through benchmark harness.
+
+Re-implements the reference benchmark (reference:
+src/modules/voxel_rt/Benchmark.zig): a scripted camera path of 11 lerped
+waypoints and 11 *component-lerped* quaternion orientations over a fixed 60
+second duration (Benchmark.zig:141-173), accumulating min/max/avg frame time
+into a report printed with the same fields (GPU name, frame times, grid
+dims, sun state, resolution, spp, bounces — Benchmark.zig:109-135).
+
+The camera trick is preserved: the interpolated orientation is written into
+the camera's *yaw* quaternion with pitch reset to identity
+(Benchmark.zig:30-31, :62-63).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.grid import GridStatic
+from ..utils import quat as q
+
+BENCHMARK_DURATION: float = 60.0  # seconds (Benchmark.zig:144)
+
+# Benchmark.zig:146-158
+PATH_POINTS: Tuple[Tuple[float, float, float], ...] = (
+    (0, 0, 0),
+    (2, 5, 0),
+    (3, 5, 5),
+    (5, 2, 1),
+    (10, 0, 10),
+    (20, -20, 20),
+    (10, -25, 15),
+    (10, -22, 20),
+    (10, -30, 25),
+    (5, -10, 10),
+    (0, 13, 0),
+)
+
+# Benchmark.zig:160-172, euler degrees fed to quat_from_euler_angles
+PATH_EULERS: Tuple[Tuple[float, float, float], ...] = (
+    (0, 0, 0),
+    (0, 45, 0),
+    (10, -20, 0),
+    (20, 180, 0),
+    (50, 90, 0),
+    (60, 0, 0),
+    (80, -10, 0),
+    (75, -40, 0),
+    (80, -10, 0),
+    (80, -90, 0),
+    (0, -145, 0),
+)
+
+
+@dataclasses.dataclass
+class BenchmarkReport:
+    """Accumulated report (Benchmark.zig:80-135)."""
+
+    min_delta_time: float = float("inf")
+    max_delta_time: float = 0.0
+    delta_time_sum: float = 0.0
+    delta_time_sum_samples: int = 0
+    voxel_dims: Tuple[int, int, int] = (0, 0, 0)
+
+    def average(self) -> float:
+        if self.delta_time_sum_samples == 0:
+            return 0.0
+        return self.delta_time_sum / self.delta_time_sum_samples
+
+    def format(self, device_name: str, camera_device, sun_enabled: bool) -> str:
+        """The reference's report layout (Benchmark.zig:109-135)."""
+        lines = [
+            f"{'BENCHMARK REPORT':-^50}",
+            f"{'GPU':<25}: {device_name}",
+            f"{'Min frame time':<25}: {self.min_delta_time * 1e3:>8.3f}",
+            f"{'Max frame time':<25}: {self.max_delta_time * 1e3:>8.3f}",
+            f"{'Avg frame time':<25}: {self.average() * 1e3:>8.3f}",
+            f"{'Brick state info':<25}: {list(self.voxel_dims)}",
+            f"{'Sun enabled':<25}: {sun_enabled}",
+            "Camera state info:",
+            f"{' > image dimensions':<30}: (x = {camera_device.image_width}, "
+            f"y = {camera_device.image_height})",
+            f"{' > max bounce':<30}: {camera_device.max_bounce}",
+            f"{' > samples per pixel':<30}: {camera_device.samples_per_pixel}",
+        ]
+        return "\n".join(lines)
+
+
+class Benchmark:
+    """Scripted fly-through driving a Camera (Benchmark.zig:22-74)."""
+
+    def __init__(self, camera: Camera, grid_static: GridStatic,
+                 sun_enabled: bool, duration: float = BENCHMARK_DURATION):
+        self.camera = camera
+        self.sun_enabled = sun_enabled
+        self.duration = float(duration)
+        self.timer = 0.0
+        self.path_points = [np.asarray(p, dtype=np.float32) for p in PATH_POINTS]
+        self.path_orientations = [q.quat_from_euler_angles(*e) for e in PATH_EULERS]
+        self.path_point_fraction = self.duration / len(self.path_points)
+        self.path_orientation_fraction = self.duration / len(self.path_orientations)
+        self.report = BenchmarkReport(voxel_dims=grid_static.voxel_dims)
+
+        # initialize camera state (Benchmark.zig:27-32)
+        camera.disable_input()
+        camera.d_camera.origin = self.path_points[0].copy()
+        camera.yaw = self.path_orientations[0].copy()
+        camera.pitch = q.quat_identity()
+        camera.propagate_pitch_change()
+
+    def update(self, dt: float) -> bool:
+        """Advance path + accumulate stats; True when complete
+        (Benchmark.zig:46-74)."""
+        self.timer += dt
+
+        idx = int(self.timer // self.path_point_fraction)
+        if idx < len(self.path_points) - 1:
+            t = (self.timer % self.path_point_fraction) / self.path_point_fraction
+            left = self.path_points[idx]
+            right = self.path_points[idx + 1]
+            self.camera.d_camera.origin = q.lerp(left, right, np.float32(t))
+
+        oidx = int(self.timer // self.path_orientation_fraction)
+        if oidx < len(self.path_orientations) - 1:
+            t = (self.timer % self.path_orientation_fraction) / self.path_orientation_fraction
+            left = self.path_orientations[oidx]
+            right = self.path_orientations[oidx + 1]
+            # component lerp, not slerp (Benchmark.zig:62: za.Quat.lerp)
+            self.camera.yaw = q.quat_lerp(left, right, np.float32(t))
+            self.camera.pitch = q.quat_identity()
+
+        self.camera.propagate_pitch_change()
+
+        self.report.min_delta_time = min(self.report.min_delta_time, dt)
+        self.report.max_delta_time = max(self.report.max_delta_time, dt)
+        self.report.delta_time_sum += dt
+        self.report.delta_time_sum_samples += 1
+
+        return self.timer >= self.duration
+
+    def print_report(self, device_name: str) -> str:
+        text = self.report.format(device_name, self.camera.d_camera, self.sun_enabled)
+        print(text)
+        return text

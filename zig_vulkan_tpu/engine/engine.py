@@ -1,0 +1,278 @@
+"""VoxelRT — the engine facade.
+
+The TPU-native equivalent of the reference's public renderer API
+(reference: src/modules/VoxelRT.zig + the per-frame orchestration of
+voxel_rt/Pipeline.zig). Everything the reference does with Vulkan machinery
+collapses into ONE jitted render step:
+
+- compute dispatch + blit + denoise (Pipeline.draw, Pipeline.zig:432-541)
+  -> a single XLA program: trace -> tone map -> denoise/resample (XLA fuses
+  the handoff the reference manages with semaphores and queue-ownership
+  barriers, SURVEY.md §5.8);
+- staging-ramp uploads of camera/sun push constants -> traced scalar args;
+- `updateGridDelta` dirty-range uploads (VoxelRT.zig:107-172) -> donated
+  functional `apply_edits` scatter updates on device-resident arrays;
+- swapchain rescale (Pipeline.zig:657-710) -> a new jit trace for the new
+  static resolution (cached per resolution).
+
+Host-side mutable state is only the camera/sun (a handful of floats, like
+the reference's push constants) plus the metrics ring.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DenoiserConfig, EngineConfig, TraceConfig
+from ..core.camera import Camera
+from ..core.grid import BrickGrid, GridArrays, apply_edits, remove_edits
+from ..core.materials import MaterialTable
+from ..core.sun import Sun
+from ..ops import denoise as denoise_mod
+from ..ops import trace as trace_mod
+from .benchmark import Benchmark
+from .metrics import FrameMetrics
+
+F = jnp.float32
+
+
+class VoxelRT:
+    """Engine facade (reference VoxelRT.zig:39-172).
+
+    Example:
+        scene = models.scenes.default_scene()
+        rt = VoxelRT(scene.grid, scene.materials, EngineConfig())
+        rt.camera.translate(dt, [0, 0, -1])
+        image = rt.draw(dt)           # f32[out_h, out_w, 3] on device
+    """
+
+    VFOV_DEGREES = 75.0  # reference VoxelRT.init camera vfov
+
+    def __init__(self, grid: BrickGrid, materials: MaterialTable,
+                 config: EngineConfig = EngineConfig()):
+        self.config = config
+        self.grid_static = grid.static
+        self.arrays: GridArrays = grid.device_arrays()
+        self.materials_host = materials
+        self.mats = trace_mod.materials_to_device(materials)
+
+        iw = int(config.internal_resolution_width)
+        ih = int(config.internal_resolution_height)
+        self.internal_resolution = (iw, ih)
+        ow = int(config.output_resolution_width or iw)
+        oh = int(config.output_resolution_height or ih)
+        self.output_resolution = (ow, oh)
+
+        self.camera = Camera(self.VFOV_DEGREES, iw, ih, config.camera)
+        self.sun = Sun(config.sun)
+        self.denoiser = config.denoiser
+        self.trace_config = config.trace
+
+        self.metrics = FrameMetrics()
+        self.metrics.rays_per_frame = iw * ih * int(config.camera.samples_per_pixel)
+
+        self._step_cache = {}
+        self._edit_step = None
+        self._remove_step = None
+
+    # -- render step -----------------------------------------------------------
+
+    def _build_step(self, key):
+        """Trace+postprocess jitted for one static configuration."""
+        (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
+         dn_enabled, dn_samples, dn_pixel_multiplier, max_steps) = key
+        static = self.grid_static
+
+        def step(arrays, mats, cam, sun_position, sun_color, sun_radius,
+                 dn_bias, dn_hue):
+            img = trace_mod.render_rows(
+                static, arrays, mats, cam, iw, ih, spp, max_bounce,
+                sun_position, sun_color, sun_radius, sun_enabled,
+                max_steps=max_steps)
+            if dn_enabled:
+                return denoise_mod.denoise(
+                    img, samples=dn_samples, distribution_bias=dn_bias,
+                    pixel_multiplier=dn_pixel_multiplier,
+                    inverse_hue_tolerance=dn_hue, out_shape=(oh, ow))
+            return denoise_mod.bilinear_resample(img, oh, ow)
+
+        return jax.jit(step)
+
+    def _step_key(self):
+        iw, ih = self.internal_resolution
+        ow, oh = self.output_resolution
+        d = self.camera.d_camera
+        return (iw, ih, ow, oh, int(d.samples_per_pixel), int(d.max_bounce),
+                bool(self.sun.device_data.enabled),
+                bool(self.denoiser.enabled), int(self.denoiser.samples),
+                float(self.denoiser.pixel_multiplier),
+                int(self.trace_config.max_steps))
+
+    def render(self):
+        """Render one frame; returns the device image f32[out_h, out_w, 3]."""
+        key = self._step_key()
+        step = self._step_cache.get(key)
+        if step is None:
+            step = self._build_step(key)
+            self._step_cache[key] = step
+        sun = self.sun.device_data
+        return step(
+            self.arrays, self.mats,
+            trace_mod.camera_vectors(self.camera.d_camera),
+            jnp.asarray(sun.position, dtype=F),
+            jnp.asarray(sun.color, dtype=F),
+            jnp.asarray(sun.radius, dtype=F),
+            jnp.asarray(self.denoiser.distribution_bias, dtype=F),
+            jnp.asarray(self.denoiser.inverse_hue_tolerance, dtype=F),
+        )
+
+    def draw(self, dt: float | None = None):
+        """Render + record frame metrics (Pipeline.draw analog). Blocks
+        until the device finishes so frame times are honest."""
+        t0 = time.perf_counter()
+        image = self.render()
+        image.block_until_ready()
+        elapsed = time.perf_counter() - t0
+        self.metrics.record(dt if dt is not None else elapsed)
+        return image
+
+    # -- dynamic state (reference VoxelRT update methods) ------------------------
+
+    def update_sun(self, dt: float) -> None:
+        """Advance the sun animation (VoxelRT.zig:80-83)."""
+        self.sun.update(dt)
+
+    def push_materials(self, materials: MaterialTable) -> None:
+        """Replace the material table (VoxelRT.zig:85-88)."""
+        self.materials_host = materials
+        self.mats = trace_mod.materials_to_device(materials)
+
+    def push_albedo(self, index: int, albedo) -> None:
+        """Update one material's albedo (VoxelRT.zig:90-92 pushAlbedo)."""
+        self.materials_host.albedo[index] = np.asarray(albedo, dtype=np.float32)
+        self.mats = trace_mod.materials_to_device(self.materials_host)
+
+    def set_denoiser(self, **knobs) -> None:
+        """Tune denoiser push constants (Pipeline.zig:543-557 setters)."""
+        import dataclasses as dc
+
+        self.denoiser = dc.replace(self.denoiser, **knobs)
+
+    def set_resolutions(self, internal: Optional[Tuple[int, int]] = None,
+                        output: Optional[Tuple[int, int]] = None) -> None:
+        """Rescale (the swapchain-rebuild analog, Pipeline.zig:657-710):
+        new static shapes mean a new cached jit trace."""
+        if internal is not None:
+            iw, ih = internal
+            self.internal_resolution = (int(iw), int(ih))
+            cam_cfg = self.config.camera
+            old = self.camera
+            self.camera = Camera(self.VFOV_DEGREES, iw, ih, cam_cfg)
+            # preserve pose
+            self.camera.yaw = old.yaw
+            self.camera.pitch = old.pitch
+            self.camera.d_camera.origin = old.d_camera.origin
+            self.camera.d_camera.samples_per_pixel = old.d_camera.samples_per_pixel
+            self.camera.d_camera.max_bounce = old.d_camera.max_bounce
+            self.camera.propagate_pitch_change()
+            self.metrics.rays_per_frame = (
+                int(iw) * int(ih) * int(self.camera.d_camera.samples_per_pixel))
+        if output is not None:
+            self.output_resolution = (int(output[0]), int(output[1]))
+
+    # -- voxel edits (reference C4 call stack) -----------------------------------
+
+    _EDIT_PAD = 1024
+
+    def _padded(self, n: int) -> int:
+        size = self._EDIT_PAD
+        while size < n:
+            size *= 2
+        return size
+
+    def insert_voxels(self, xyz, material_index) -> None:
+        """Functional device-side voxel inserts (the updateGridDelta analog,
+        VoxelRT.zig:107-172). Batches are padded to canonical sizes so
+        repeated edits reuse one jit trace; arrays are donated so XLA
+        updates HBM in place."""
+        xyz = np.atleast_2d(np.asarray(xyz, dtype=np.int32))
+        mats = np.asarray(material_index, dtype=np.uint8).ravel()
+        n = xyz.shape[0]
+        size = self._padded(n)
+        pad_xyz = np.zeros((size, 3), dtype=np.int32)
+        pad_xyz[:n] = xyz
+        pad_mat = np.zeros(size, dtype=np.uint8)
+        pad_mat[:n] = mats
+        valid = np.zeros(size, dtype=bool)
+        valid[:n] = True
+        if self._edit_step is None:
+            self._edit_step = jax.jit(
+                apply_edits, static_argnums=0, donate_argnums=1)
+        self.arrays = self._edit_step(
+            self.grid_static, self.arrays, jnp.asarray(pad_xyz),
+            jnp.asarray(pad_mat), jnp.asarray(valid))
+
+    def remove_voxels(self, xyz) -> None:
+        """Functional voxel removal (superset; BASELINE config 3)."""
+        xyz = np.atleast_2d(np.asarray(xyz, dtype=np.int32))
+        n = xyz.shape[0]
+        size = self._padded(n)
+        pad_xyz = np.zeros((size, 3), dtype=np.int32)
+        pad_xyz[:n] = xyz
+        valid = np.zeros(size, dtype=bool)
+        valid[:n] = True
+        if self._remove_step is None:
+            self._remove_step = jax.jit(
+                remove_edits, static_argnums=0, donate_argnums=1)
+        self.arrays = self._remove_step(
+            self.grid_static, self.arrays, jnp.asarray(pad_xyz),
+            jnp.asarray(valid))
+
+    # -- benchmark (reference VoxelRT.createBenchmark, VoxelRT.zig:72-74) --------
+
+    def create_benchmark(self, duration: float = 60.0) -> Benchmark:
+        return Benchmark(self.camera, self.grid_static,
+                         bool(self.sun.device_data.enabled), duration=duration)
+
+    def run_benchmark(self, duration: float = 60.0,
+                      max_frames: Optional[int] = None,
+                      verbose: bool = True) -> Benchmark:
+        """Run the fly-through to completion (ImguiGui.zig:154-163 loop)."""
+        bench = self.create_benchmark(duration)
+        self.render().block_until_ready()  # warm the jit cache outside timing
+        frames = 0
+        prev = time.perf_counter()
+        done = False
+        while not done and (max_frames is None or frames < max_frames):
+            now = time.perf_counter()
+            dt = now - prev
+            prev = now
+            self.update_sun(dt)
+            self.draw(dt)
+            done = bench.update(dt if frames > 0 else 1e-3)
+            frames += 1
+        self.camera.reset()
+        if verbose:
+            bench.print_report(device_name())
+        return bench
+
+    # -- scene save/load (superset feature; SURVEY.md §5.4) ----------------------
+
+    def save_scene(self, path: str) -> None:
+        from ..io.scene_io import save_scene
+
+        save_scene(path, self.grid_static, self.arrays, self.materials_host)
+
+    def device_image_to_host(self, image) -> np.ndarray:
+        return np.asarray(image)
+
+
+def device_name() -> str:
+    d = jax.devices()[0]
+    return f"{d.device_kind} ({d.platform})"

@@ -397,52 +397,75 @@ def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
     return color / (color + F(1.0))
 
 
-def camera_rays(camera_device, sample_index: int):
+def camera_vectors(camera_device) -> dict:
+    """Extract the traced camera basis (the push-constant payload,
+    Camera.zig:183-193) as a pytree of f32 vectors. Image size / spp /
+    max_bounce stay host-side statics (they change shapes/loop counts)."""
+    d = camera_device
+    return dict(
+        horizontal=jnp.asarray(d.horizontal, dtype=F),
+        vertical=jnp.asarray(d.vertical, dtype=F),
+        lower_left_corner=jnp.asarray(d.lower_left_corner, dtype=F),
+        origin=jnp.asarray(d.origin, dtype=F),
+    )
+
+
+def camera_rays(cam: dict, width: int, height: int, sample_index: int,
+                row0=0, rows: int | None = None):
     """Per-pixel jittered camera rays (kernel main,
     brick_raytracer.comp:162-171 + CameraGetRay :474-477).
 
-    Returns (origin f32[H*W, 3], direction f32[H*W, 3] unnormalized)."""
-    d = camera_device
-    w, h = int(d.image_width), int(d.image_height)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=F), jnp.arange(w, dtype=F),
+    `row0`/`rows` select a horizontal band of the image — the unit of
+    multi-chip framebuffer-tile sharding (row0 may be a traced scalar).
+
+    Returns (origin f32[rows*W, 3], direction f32[rows*W, 3] unnormalized)."""
+    w, h = int(width), int(height)
+    rows = h if rows is None else int(rows)
+    ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=F), jnp.arange(w, dtype=F),
                           indexing="ij")
     xs = xs.ravel()
-    ys = ys.ravel()
+    ys = ys.ravel() + jnp.asarray(row0, dtype=F)
     s = sample_index
     sf = F(0.2) * F(1.0 if s > 0 else 0.0)
     noise_x = rng.hash12(jnp.stack([(xs + F(s)) * sf, ys * sf], axis=-1), xp=jnp)
     noise_y = rng.hash12(jnp.stack([xs * sf, (ys + F(s)) * sf], axis=-1), xp=jnp)
     u = (xs + noise_x) / F(w - 1)
     v = (ys + noise_y) / F(h - 1)
-    horizontal = jnp.asarray(d.horizontal, dtype=F)
-    vertical = jnp.asarray(d.vertical, dtype=F)
-    lower_left = jnp.asarray(d.lower_left_corner, dtype=F)
-    origin = jnp.asarray(d.origin, dtype=F)
-    ray_dir = (horizontal * u[:, None] + lower_left
-               + vertical * v[:, None] - origin)
-    origins = jnp.broadcast_to(origin, ray_dir.shape)
+    ray_dir = (cam["horizontal"] * u[:, None] + cam["lower_left_corner"]
+               + cam["vertical"] * v[:, None] - cam["origin"])
+    origins = jnp.broadcast_to(cam["origin"], ray_dir.shape)
     return origins, ray_dir
+
+
+def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
+                cam: dict, width: int, height: int, spp: int, max_bounce: int,
+                sun_position, sun_color, sun_radius, sun_enabled: bool,
+                row0=0, rows: int | None = None, max_steps: int = 768):
+    """Render a band of image rows (the sharding unit). Returns
+    f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178)."""
+    w, h = int(width), int(height)
+    rows = h if rows is None else int(rows)
+    color = jnp.zeros((rows * w, 3), dtype=F)
+    for s in range(spp):
+        origins, dirs = camera_rays(cam, w, h, s, row0=row0, rows=rows)
+        color = color + ray_color(
+            static, arrays, mats, origins, dirs, max_bounce,
+            jnp.asarray(sun_position, dtype=F), sun_enabled,
+            jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
+            max_steps)
+    color = jnp.sqrt(color / F(spp))
+    return color.reshape(rows, w, 3)
 
 
 def render_image(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                  camera_device, sun_position, sun_color, sun_radius,
                  sun_enabled: bool, trace_config: TraceConfig = TraceConfig()):
-    """Render a full frame: spp accumulation + gamma (kernel main,
-    brick_raytracer.comp:153-178). Returns f32[H, W, 3] in [0, 1].
-
-    Wrap in jax.jit with static_argnames=("static", "sun_enabled",
-    "trace_config") — the engine does this once.
-    """
+    """Render a full frame from a host CameraDevice (single-chip
+    convenience; the engine jits render_rows directly)."""
     d = camera_device
-    w, h = int(d.image_width), int(d.image_height)
-    spp = int(d.samples_per_pixel)
-    color = jnp.zeros((h * w, 3), dtype=F)
-    for s in range(spp):
-        origins, dirs = camera_rays(d, s)
-        color = color + ray_color(
-            static, arrays, mats, origins, dirs, int(d.max_bounce),
-            jnp.asarray(sun_position, dtype=F), sun_enabled,
-            jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
-            trace_config.max_steps)
-    color = jnp.sqrt(color / F(spp))
-    return color.reshape(h, w, 3)
+    return render_rows(
+        static, arrays, mats, camera_vectors(d),
+        int(d.image_width), int(d.image_height),
+        int(d.samples_per_pixel), int(d.max_bounce),
+        sun_position, sun_color, sun_radius, sun_enabled,
+        max_steps=trace_config.max_steps)

@@ -139,7 +139,12 @@ def brick_hit(scene: OracleScene, origin, direction, ray_delta, ray_step,
     hit_index = np.zeros(n, dtype=np.int32)
 
     running = mask.copy()
+    guard = 0
     while running.any():
+        guard += 1
+        if guard > 4 * BRICK_DIMENSION:  # GLSL loop is bounded by geometry
+            running[:] = False
+            break
         in_bounds = ((local_pos >= 0).all(axis=-1)
                      & (local_pos < BRICK_DIMENSION).all(axis=-1)
                      & (t_value <= local_t_max))
@@ -218,7 +223,13 @@ def grid_hit(scene: OracleScene, origin, direction, t_min, t_max,
     out_point = np.zeros((n, 3), dtype=F)
     out_index = np.zeros(n, dtype=np.int32)
 
+    guard = 0
+    max_grid_steps = 4 * (st.dim_x + st.dim_y + st.dim_z)
     while running.any():
+        guard += 1
+        if guard > max_grid_steps:
+            running[:] = False
+            break
         in_bounds = ((local_pos >= 0).all(axis=-1)
                      & (local_pos < dims).all(axis=-1)
                      & (global_t <= t_max))
