@@ -1,0 +1,103 @@
+"""Benchmark entry point (driver contract).
+
+Measures the headline metric from BASELINE.json — primary-ray throughput at
+1080p on the default 512x256x512 brickmap scene — and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mray/s/chip", "vs_baseline": N}
+
+Baseline: the north star is >= 1 Gray/s primary rays on a v5e-8, i.e.
+125 Mray/s per chip; vs_baseline = value / 125.
+
+Measurement methodology: the TPU in this environment sits behind an async
+tunnel where `block_until_ready` does not reliably synchronize and single
+host round-trips cost hundreds of ms, so each frame chains a scalar checksum
+through the next dispatch and ONE host read at the end syncs the whole run.
+Frames vary the camera origin along the benchmark fly-through path so no
+two dispatches are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from zig_vulkan_tpu.config import CameraConfig
+    from zig_vulkan_tpu.core.camera import Camera
+    from zig_vulkan_tpu.engine.benchmark import PATH_POINTS
+    from zig_vulkan_tpu.models.scenes import default_scene
+    from zig_vulkan_tpu.ops import trace as tt
+
+    width, height = 1920, 1080
+    max_steps = 512
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    baseline_mrays_per_chip = 125.0  # 1 Gray/s on v5e-8 (BASELINE.json)
+
+    t0 = time.time()
+    sc = default_scene()
+    print(f"# scene: {sc.grid.static.voxel_dims} voxels, "
+          f"{int(sc.grid.arrays.active_bricks)} bricks, "
+          f"built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    arrays = sc.grid.device_arrays()
+    mats = tt.materials_to_device(sc.materials)
+    static = sc.grid.static
+    cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
+    cv = tt.camera_vectors(cam.d_camera)
+
+    @jax.jit
+    def frame(acc, origin):
+        cam2 = dict(cv)
+        cam2["origin"] = origin
+        o, d = tt.camera_rays(cam2, width, height, 0)
+        d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+        n = o.shape[0]
+        h = tt.grid_hit(static, arrays, mats, o, d, jnp.float32(np.inf),
+                        jnp.full(n, 3, jnp.int32), jnp.ones(n, jnp.float32),
+                        jnp.ones(n, jnp.bool_), max_steps=max_steps)
+        # scalar checksum chains the dependency into the next frame
+        return acc + jnp.sum(h["t"]) * jnp.float32(1e-9) + jnp.float32(1.0)
+
+    # camera origins along the fly-through path (varied work per frame)
+    path = np.asarray(PATH_POINTS, dtype=np.float32)
+    origins = [
+        jnp.asarray(path[i % (len(path) - 1)]
+                    + (path[(i % (len(path) - 1)) + 1] - path[i % (len(path) - 1)])
+                    * ((i * 7 % 10) / 10.0), dtype=jnp.float32)
+        for i in range(frames)
+    ]
+
+    # warmup: compile + one full execution, synced by a host read
+    t0 = time.time()
+    acc = frame(jnp.float32(0.0), origins[0])
+    _ = float(acc)
+    print(f"# warmup (compile + 1 frame): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for i in range(frames):
+        acc = frame(acc, origins[i])
+    checksum = float(acc)  # single sync for the whole run
+    elapsed = time.time() - t0
+
+    per_frame = elapsed / frames
+    mrays = width * height / per_frame / 1e6
+    print(f"# {frames} frames in {elapsed:.2f}s -> {per_frame * 1e3:.1f} ms/frame "
+          f"(checksum {checksum:.3f})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "primary_ray_throughput_1080p_512^3",
+        "value": round(mrays, 2),
+        "unit": "Mray/s/chip",
+        "vs_baseline": round(mrays / baseline_mrays_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,8 @@ class VoxelRT:
         self._step_cache = {}
         self._edit_step = None
         self._remove_step = None
+        self._tables = None
+        self._tables_fn = jax.jit(trace_mod.build_trace_tables, static_argnums=0)
 
     # -- render step -----------------------------------------------------------
 
@@ -89,12 +91,12 @@ class VoxelRT:
          dn_enabled, dn_samples, dn_pixel_multiplier, max_steps) = key
         static = self.grid_static
 
-        def step(arrays, mats, cam, sun_position, sun_color, sun_radius,
-                 dn_bias, dn_hue):
+        def step(arrays, tables, mats, cam, sun_position, sun_color,
+                 sun_radius, dn_bias, dn_hue):
             img = trace_mod.render_rows(
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
                 sun_position, sun_color, sun_radius, sun_enabled,
-                max_steps=max_steps)
+                max_steps=max_steps, tables=tables)
             if dn_enabled:
                 return denoise_mod.denoise(
                     img, samples=dn_samples, distribution_bias=dn_bias,
@@ -122,8 +124,12 @@ class VoxelRT:
             step = self._build_step(key)
             self._step_cache[key] = step
         sun = self.sun.device_data
+        if self._tables is None:
+            # scene-derived traversal records, cached across frames
+            # (rebuilt after edits; see ops.trace.build_trace_tables)
+            self._tables = self._tables_fn(self.grid_static, self.arrays)
         return step(
-            self.arrays, self.mats,
+            self.arrays, self._tables, self.mats,
             trace_mod.camera_vectors(self.camera.d_camera),
             jnp.asarray(sun.position, dtype=F),
             jnp.asarray(sun.color, dtype=F),
@@ -217,6 +223,7 @@ class VoxelRT:
         self.arrays = self._edit_step(
             self.grid_static, self.arrays, jnp.asarray(pad_xyz),
             jnp.asarray(pad_mat), jnp.asarray(valid))
+        self._tables = None  # traversal records now stale
 
     def remove_voxels(self, xyz) -> None:
         """Functional voxel removal (superset; BASELINE config 3)."""
@@ -233,6 +240,7 @@ class VoxelRT:
         self.arrays = self._remove_step(
             self.grid_static, self.arrays, jnp.asarray(pad_xyz),
             jnp.asarray(valid))
+        self._tables = None  # traversal records now stale
 
     # -- benchmark (reference VoxelRT.createBenchmark, VoxelRT.zig:72-74) --------
 

@@ -7,27 +7,41 @@ frame is traced as a *wavefront*: every ray is one lane of large arrays, and
 the two nested DDA loops (grid level, brick_raytracer.comp:313-373; brick
 level, :407-468) are flattened into a single `lax.while_loop` state machine
 with a per-ray `level` flag — each iteration advances every active ray by
-exactly one DDA step at its current level. This keeps all work in wide
-vector ops (VPU-friendly) with scene-table gathers as the only irregular
-access, and it is the standard stackless formulation of multi-level
-traversal re-expressed functionally.
+exactly one DDA step at its current level.
 
-Semantics follow the GLSL bit-for-bit where float evaluation allows (the
-epsilon offsets :287/:332/:431-433, the DDA tie-breaking order :345-372, the
-same-dielectric skip :427, `color/(color+1)` tone map :264, sqrt gamma
-:176); see zig_vulkan_tpu.oracle.cpu_tracer for the independent CPU oracle
-these semantics are tested against.
+TPU-specific design decisions (these ARE the performance story):
 
-Sharding: every per-ray array is embarrassingly parallel along the ray axis
-and the scene tables are replicated, so the same function runs single-chip
-or sharded over a device mesh (see zig_vulkan_tpu.parallel.mesh).
+1. **SoA lanes.** All ray state is kept as separate (N,) component arrays,
+   never (N, 3): a (N, 3) float32 array tiles its minor dimension onto the
+   128-wide lane axis and wastes 125/128 of every vector register and HBM
+   word. SoA keeps the VPU fully occupied.
+
+2. **Gather minimization.** Per-lane random access (XLA `gather`) is the
+   scarce resource on TPU. Per DDA step this kernel performs exactly ONE
+   gather at grid level (a merged cell -> brick table with an EMPTY
+   sentinel, replacing the reference's separate status-bit + index fetches,
+   State.zig:86-109) and ZERO at brick level: a brick's two 32-bit
+   occupancy words and its material-window start are fetched once at brick
+   *entry*, after which every voxel test is a lane-local select + bit test.
+   Material bytes + the packed {type, type_data} info row are gathered only
+   when a candidate voxel is actually occupied.
+
+3. Semantics follow the GLSL bit-for-bit where float evaluation allows
+   (epsilon offsets :287/:332/:431-433, DDA tie-breaking :345-372, the
+   same-dielectric skip :427, `color/(color+1)` tone map :264, sqrt gamma
+   :176); zig_vulkan_tpu.oracle.cpu_tracer is the independent CPU oracle
+   these semantics are tested against.
+
+Sharding: per-ray arrays are embarrassingly parallel along the ray axis and
+the scene tables are replicated, so the same function runs single-chip or
+row-sharded over a device mesh (zig_vulkan_tpu.parallel.mesh).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +60,7 @@ from . import rng
 
 F = jnp.float32
 _BD = BRICK_DIMENSION
+_EMPTY = jnp.uint32(0xFFFFFFFF)
 
 
 @dataclasses.dataclass
@@ -55,6 +70,14 @@ class MaterialsDevice:
     mtype: Any       # int32[256]
     albedo: Any      # f32[256, 3]
     type_data: Any   # f32[256]
+
+    @property
+    def info(self):
+        """Packed per-material {type, bitcast(type_data)} rows — ONE gather
+        fetches both fields needed by the dielectric skip test."""
+        return jnp.stack(
+            [self.mtype, jax.lax.bitcast_convert_type(self.type_data, jnp.int32)],
+            axis=-1)
 
 
 jax.tree_util.register_dataclass(
@@ -70,12 +93,19 @@ def materials_to_device(table: MaterialTable) -> MaterialsDevice:
     )
 
 
-def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+# -- small SoA vector helpers ---------------------------------------------------
+
+def _split3(v):
+    return v[:, 0], v[:, 1], v[:, 2]
 
 
-def _reflect(d, n):
-    return d - F(2.0) * jnp.sum(d * n, axis=-1, keepdims=True) * n
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
 
 
 def safe_inverse(v):
@@ -83,99 +113,149 @@ def safe_inverse(v):
     return jnp.where(v == 0.0, F(1e12), F(1.0) / v)
 
 
-def _index_of_max_component(v):
-    """GLSL indexOfMaxComponent (brick_raytracer.comp:501-503)."""
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    return (((y > x) & (y > z)).astype(jnp.int32)
-            + 2 * ((z > x) & (z > y)).astype(jnp.int32))
+def build_trace_tables(static: GridStatic, arrays: GridArrays):
+    """Per-cell traversal records: int32[cells, 4] rows of
+    {material window start (or -1 = empty cell), occupancy word 0,
+    occupancy word 1, brick slot}.
 
+    This fuses everything the traversal needs per grid cell — the
+    reference's separate status-bit, brick-index, occupancy, and
+    start-index fetches (State.zig:86-127) — into ONE row gather at brick
+    entry, and makes every in-brick voxel test gather-free (the 64
+    occupancy bits ride in lane-local registers).
 
-def _dda_step(side, local, normal_axis, delta, step_i, scale):
-    """One 3D-DDA advance for every lane (brick_raytracer.comp:344-372).
-
-    Returns (t_value, side', local', normal')."""
-    sx, sy, sz = side[:, 0], side[:, 1], side[:, 2]
-    axis = jnp.where(sx < sy, jnp.where(sx < sz, 0, 2), jnp.where(sy < sz, 1, 2))
-    onehot = axis[:, None] == jnp.arange(3)[None, :]
-    t_value = jnp.sum(jnp.where(onehot, side, 0.0), axis=-1) * scale
-    side = side + jnp.where(onehot, delta, 0.0)
-    local = local + jnp.where(onehot, step_i, 0)
-    normal = jnp.where(onehot, normal_axis, 0.0)
-    return t_value, side, local, normal
+    Depends only on the scene, not the camera: the engine caches it across
+    frames and rebuilds after edits.
+    """
+    cells = jnp.arange(static.cells, dtype=jnp.uint32)
+    bits = arrays.statuses[(cells // 32).astype(jnp.int32)]
+    loaded = ((bits >> (cells % 32)) & jnp.uint32(1)) == 1
+    brick = jnp.where(loaded, arrays.indices, jnp.uint32(0)).astype(jnp.int32)
+    occ2 = arrays.occupancy.reshape(static.brick_alloc, BRICK_WORDS)
+    occ_rows = occ2[brick]
+    start = arrays.start_indices[brick]
+    start = jnp.where(loaded, start, _EMPTY)
+    return jnp.stack(
+        [start.astype(jnp.int32),
+         occ_rows[:, 0].astype(jnp.int32),
+         occ_rows[:, 1].astype(jnp.int32),
+         brick],
+        axis=-1)
 
 
 @partial(jax.jit, static_argnames=("static", "max_steps"))
 def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
              origin, direction, t_max, ignore_type, internal_reflection,
-             active, max_steps: int = 768):
-    """Two-level DDA traversal for a wavefront of rays.
-
-    Equivalent to GLSL GridHit + BrickHit (brick_raytracer.comp:271-471),
-    flattened into one while_loop with a per-ray level flag.
+             active, max_steps: int = 768, tables=None):
+    """Two-level DDA traversal for a wavefront of rays (GLSL GridHit +
+    BrickHit, brick_raytracer.comp:271-471) — SoA, gather-minimized.
 
     Args:
       origin, direction: f32[N, 3] (direction normalized).
-      t_max: f32[] scalar upper bound (the GLSL `t_max` argument).
-      ignore_type, internal_reflection: per-ray dielectric skip state.
+      t_max: f32[] scalar upper bound.
+      ignore_type, internal_reflection: per-ray dielectric-skip state.
       active: bool[N] lanes to trace.
-      max_steps: static bound on total DDA steps (grid + brick) per ray.
+      max_steps: static bound on total DDA steps per ray.
+      tables: optional cached build_trace_tables(static, arrays).
 
-    Returns dict(found, t, point, normal, index).
+    Returns dict(found, t, point f32[N,3], normal f32[N,3], index).
     """
-    n = origin.shape[0]
-    g_min = jnp.asarray(static.min_point, dtype=F)
+    ox, oy, oz = _split3(origin)
+    dx, dy, dz = _split3(direction)
+    out = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
+                        jnp.asarray(t_max, dtype=F), ignore_type,
+                        internal_reflection, active, max_steps, tables)
+    return dict(
+        found=out["found"],
+        t=out["t"],
+        point=jnp.stack([out["px"], out["py"], out["pz"]], axis=-1),
+        normal=jnp.stack([out["nx"], out["ny"], out["nz"]], axis=-1),
+        index=out["index"],
+    )
+
+
+def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
+                  ignore_type, internal_reflection, active, max_steps,
+                  tables=None):
+    n = ox.shape[0]
+    gx0, gy0, gz0 = (F(v) for v in static.min_point)
+    gx1, gy1, gz1 = (F(v) for v in static.max_point)
     scale = F(static.scale)
     voxel_scale = F(static.scale / _BD)
-    dims = jnp.asarray(static.dims, dtype=jnp.int32)
+    dim_x, dim_y, dim_z = static.dims
     t_min = F(1e-5)
 
-    inv_dir = safe_inverse(direction)
+    if tables is None:
+        tables = build_trace_tables(static, arrays)
+    mat_info = mats.info
 
-    # slab entry (AdvNormIntersect, brick_raytracer.comp:522-536)
-    t_lower = (g_min - origin) * inv_dir
-    t_upper = (jnp.asarray(static.max_point, dtype=F) - origin) * inv_dir
-    t_mins = jnp.minimum(t_lower, t_upper)
-    t_maxes = jnp.maximum(t_lower, t_upper)
-    midx = _index_of_max_component(t_mins)
-    onehot0 = midx[:, None] == jnp.arange(3)[None, :]
-    normal0 = jnp.where(
-        onehot0, jnp.sign(jnp.sum(jnp.where(onehot0, inv_dir, 0.0), -1))[:, None], 0.0
-    )
-    grid_t_min = jnp.maximum(t_min, jnp.sum(jnp.where(onehot0, t_mins, 0.0), -1))
-    grid_t_max = jnp.minimum(t_max, jnp.min(t_maxes, axis=-1))
+    ix = safe_inverse(dx)
+    iy = safe_inverse(dy)
+    iz = safe_inverse(dz)
+
+    # slab entry with normal (AdvNormIntersect, brick_raytracer.comp:522-536)
+    tlx, tux = (gx0 - ox) * ix, (gx1 - ox) * ix
+    tly, tuy = (gy0 - oy) * iy, (gy1 - oy) * iy
+    tlz, tuz = (gz0 - oz) * iz, (gz1 - oz) * iz
+    tminx, tmaxx = jnp.minimum(tlx, tux), jnp.maximum(tlx, tux)
+    tminy, tmaxy = jnp.minimum(tly, tuy), jnp.maximum(tly, tuy)
+    tminz, tmaxz = jnp.minimum(tlz, tuz), jnp.maximum(tlz, tuz)
+    # indexOfMaxComponent tie-breaking (brick_raytracer.comp:501-503)
+    is_y = (tminy > tminx) & (tminy > tminz)
+    is_z = (tminz > tminx) & (tminz > tminy)
+    is_x = ~(is_y | is_z)
+    entry_tmin = jnp.where(is_x, tminx, jnp.where(is_y, tminy, tminz))
+    nx0 = jnp.where(is_x, jnp.sign(ix), F(0.0))
+    ny0 = jnp.where(is_y, jnp.sign(iy), F(0.0))
+    nz0 = jnp.where(is_z, jnp.sign(iz), F(0.0))
+    grid_t_min = jnp.maximum(t_min, entry_tmin)
+    grid_t_max = jnp.minimum(t_max, jnp.minimum(tmaxx, jnp.minimum(tmaxy, tmaxz)))
     slab_ok = grid_t_min <= grid_t_max
 
-    ray_delta = jnp.abs(inv_dir)
-    ray_step = jnp.sign(direction).astype(jnp.int32)
-    normal_axis = jnp.where(ray_step < 0, F(1.0), F(-1.0))
+    # DDA constants
+    adx, ady, adz = jnp.abs(ix), jnp.abs(iy), jnp.abs(iz)
+    stx = jnp.sign(dx).astype(jnp.int32)
+    sty = jnp.sign(dy).astype(jnp.int32)
+    stz = jnp.sign(dz).astype(jnp.int32)
+    nax = jnp.where(stx < 0, F(1.0), F(-1.0))
+    nay = jnp.where(sty < 0, F(1.0), F(-1.0))
+    naz = jnp.where(stz < 0, F(1.0), F(-1.0))
+    stxf, styf, stzf = stx.astype(F), sty.astype(F), stz.astype(F)
 
     # grid-level DDA init (brick_raytracer.comp:287-311)
     global_t0 = grid_t_min + F(1e-4) * scale
-    fpos = (origin + direction * global_t0[:, None] - g_min) / scale
-    side0 = ((ray_step * (jnp.floor(fpos) - fpos)
-              + (ray_step * F(0.5) + F(0.5))) * ray_delta)
-    local0 = jnp.floor(fpos).astype(jnp.int32)
+    fpx = (ox + dx * global_t0 - gx0) / scale
+    fpy = (oy + dy * global_t0 - gy0) / scale
+    fpz = (oz + dz * global_t0 - gz0) / scale
+    sx0 = (stxf * (jnp.floor(fpx) - fpx) + (stxf * F(0.5) + F(0.5))) * adx
+    sy0 = (styf * (jnp.floor(fpy) - fpy) + (styf * F(0.5) + F(0.5))) * ady
+    sz0 = (stzf * (jnp.floor(fpz) - fpz) + (stzf * F(0.5) + F(0.5))) * adz
+    lx0 = jnp.floor(fpx).astype(jnp.int32)
+    ly0 = jnp.floor(fpy).astype(jnp.int32)
+    lz0 = jnp.floor(fpz).astype(jnp.int32)
 
-    zeros3 = jnp.zeros((n, 3), dtype=F)
+    zf = jnp.zeros(n, dtype=F)
+    zi = jnp.zeros(n, dtype=jnp.int32)
     state = dict(
         running=active & slab_ok,
-        level=jnp.zeros(n, dtype=jnp.int32),
-        local=local0,
-        side=side0,
-        t_value=jnp.zeros(n, dtype=F),
-        normal=normal0,
+        in_brick=jnp.zeros(n, dtype=jnp.bool_),
+        lx=lx0, ly=ly0, lz=lz0,
+        sx=sx0, sy=sy0, sz=sz0,
+        t_value=zf,
+        nx=nx0, ny=ny0, nz=nz0,
         global_t=global_t0,
-        b_local=jnp.zeros((n, 3), dtype=jnp.int32),
-        b_side=zeros3,
-        b_t=jnp.zeros(n, dtype=F),
-        entry_t=jnp.zeros(n, dtype=F),
-        brick_index=jnp.zeros(n, dtype=jnp.int32),
-        brick_min=zeros3,
-        local_t_max=jnp.zeros(n, dtype=F),
+        blx=zi, bly=zi, blz=zi,
+        bsx=zf, bsy=zf, bsz=zf,
+        b_t=zf,
+        entry_t=zf,
+        occ_lo=jnp.zeros(n, dtype=jnp.uint32),
+        occ_hi=jnp.zeros(n, dtype=jnp.uint32),
+        mat_start=zi,
+        bminx=zf, bminy=zf, bminz=zf,
+        local_t_max=zf,
         found=jnp.zeros(n, dtype=jnp.bool_),
-        out_t=jnp.zeros(n, dtype=F),
-        out_point=zeros3,
-        out_index=jnp.zeros(n, dtype=jnp.int32),
+        out_t=zf,
+        out_index=zi,
         step=jnp.int32(0),
     )
 
@@ -184,111 +264,148 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
 
     def body(s):
         running = s["running"]
-        level = s["level"]
+        in_brick = s["in_brick"]
 
         # ---------------- grid level: cell check ----------------
-        g = running & (level == 0)
-        in_b_g = (jnp.all(s["local"] >= 0, axis=-1)
-                  & jnp.all(s["local"] < dims, axis=-1)
+        g = running & ~in_brick
+        in_b_g = ((s["lx"] >= 0) & (s["lx"] < dim_x)
+                  & (s["ly"] >= 0) & (s["ly"] < dim_y)
+                  & (s["lz"] >= 0) & (s["lz"] < dim_z)
                   & (s["global_t"] <= t_max))
         g_miss = g & ~in_b_g
         g_act = g & in_b_g
 
-        cell = (s["local"][:, 0]
-                + static.dim_x * (s["local"][:, 2] + static.dim_z * s["local"][:, 1]))
+        cell = s["lx"] + dim_x * (s["lz"] + dim_z * s["ly"])
         cell_c = jnp.clip(cell, 0, static.cells - 1)
-        status = (arrays.statuses[cell_c // 32]
-                  >> (cell_c % 32).astype(jnp.uint32)) & jnp.uint32(1)
-        enter = g_act & (status == 1)
+        rec = tables[cell_c]            # THE grid-phase gather (one row)
+        start_raw = rec[:, 0]
+        enter = g_act & (start_raw != -1)
 
-        brick_min = jnp.where(enter[:, None],
-                              s["local"].astype(F) * scale + g_min, s["brick_min"])
+        occ_lo = jnp.where(
+            enter, jax.lax.bitcast_convert_type(rec[:, 1], jnp.uint32),
+            s["occ_lo"])
+        occ_hi = jnp.where(
+            enter, jax.lax.bitcast_convert_type(rec[:, 2], jnp.uint32),
+            s["occ_hi"])
+        mat_start = jnp.where(enter, start_raw & jnp.int32(0x7FFFFFFF),
+                              s["mat_start"])
+
+        bminx = jnp.where(enter, s["lx"].astype(F) * scale + gx0, s["bminx"])
+        bminy = jnp.where(enter, s["ly"].astype(F) * scale + gy0, s["bminy"])
+        bminz = jnp.where(enter, s["lz"].astype(F) * scale + gz0, s["bminz"])
         new_global_t = s["t_value"] + grid_t_min + F(0.01) * scale
         entry_t = jnp.where(enter, new_global_t, s["entry_t"])
         global_t = jnp.where(enter, new_global_t, s["global_t"])
-        brick_index = jnp.where(
-            enter, arrays.indices[cell_c].astype(jnp.int32), s["brick_index"])
 
         # brick-level DDA init on entry (brick_raytracer.comp:389-405)
-        fpos_b = (origin + direction * entry_t[:, None] - brick_min) / voxel_scale
-        b_side_new = ((ray_step * (jnp.floor(fpos_b) - fpos_b)
-                       + (ray_step * F(0.5) + F(0.5))) * ray_delta)
-        b_side = jnp.where(enter[:, None], b_side_new, s["b_side"])
-        b_local = jnp.where(enter[:, None],
-                            jnp.floor(fpos_b).astype(jnp.int32), s["b_local"])
+        bfx = (ox + dx * entry_t - bminx) / voxel_scale
+        bfy = (oy + dy * entry_t - bminy) / voxel_scale
+        bfz = (oz + dz * entry_t - bminz) / voxel_scale
+        bsx = jnp.where(enter, (stxf * (jnp.floor(bfx) - bfx)
+                                + (stxf * F(0.5) + F(0.5))) * adx, s["bsx"])
+        bsy = jnp.where(enter, (styf * (jnp.floor(bfy) - bfy)
+                                + (styf * F(0.5) + F(0.5))) * ady, s["bsy"])
+        bsz = jnp.where(enter, (stzf * (jnp.floor(bfz) - bfz)
+                                + (stzf * F(0.5) + F(0.5))) * adz, s["bsz"])
+        blx = jnp.where(enter, jnp.floor(bfx).astype(jnp.int32), s["blx"])
+        bly = jnp.where(enter, jnp.floor(bfy).astype(jnp.int32), s["bly"])
+        blz = jnp.where(enter, jnp.floor(bfz).astype(jnp.int32), s["blz"])
         b_t = jnp.where(enter, F(0.0), s["b_t"])
         local_t_max = jnp.where(enter, grid_t_max - entry_t, s["local_t_max"])
-        level = jnp.where(enter, 1, level)
+        in_brick = in_brick | enter
 
         # ---------------- brick level: voxel check ----------------
-        b = (running & (level == 1))  # includes lanes that just entered
-        in_b_b = (jnp.all(b_local >= 0, axis=-1)
-                  & jnp.all(b_local < _BD, axis=-1)
-                  & (b_t <= local_t_max))
-        b_exit = b & ~in_b_b       # brick exhausted -> grid step this iter
+        b = running & in_brick  # includes lanes that just entered
+        in_b_b = ((blx >= 0) & (blx < _BD) & (bly >= 0) & (bly < _BD)
+                  & (blz >= 0) & (blz < _BD) & (b_t <= local_t_max))
+        b_exit = b & ~in_b_b
         b_act = b & in_b_b
 
-        voxel_index = (b_local[:, 0] + _BD * (b_local[:, 2] + _BD * b_local[:, 1]))
-        vi = jnp.clip(voxel_index, 0, _BD ** 3 - 1)
-        brick_c = jnp.clip(brick_index, 0, static.brick_alloc - 1)
-        occ_word = arrays.occupancy[brick_c * BRICK_WORDS + vi // 32]
-        occ = (occ_word >> (vi % 32).astype(jnp.uint32)) & jnp.uint32(1)
-        vhit = b_act & (occ == 1)
+        vi = blx + _BD * (blz + _BD * bly)
+        viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
+        occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
+        occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
+        vhit = b_act & (occ_bit == 1)
 
-        start = (arrays.start_indices[brick_c] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        mat_addr = jnp.clip(start + vi, 0, arrays.material_indices.shape[0] - 1)
+        # candidate-hit-only gathers: material byte + packed info row
+        mat_addr = jnp.clip(mat_start + vi, 0,
+                            arrays.material_indices.shape[0] - 1)
+        mat_addr = jnp.where(vhit, mat_addr, 0)
         mat_idx = arrays.material_indices[mat_addr].astype(jnp.int32)
+        info = mat_info[mat_idx]
+        v_mtype = info[:, 0]
+        v_tdata = jax.lax.bitcast_convert_type(info[:, 1], F)
         # same-material skip (brick_raytracer.comp:427)
-        ignore = ((mats.mtype[mat_idx] == ignore_type)
-                  & (internal_reflection == mats.type_data[mat_idx]))
+        ignore = (v_mtype == ignore_type) & (internal_reflection == v_tdata)
         real_hit = vhit & ~ignore
 
         t_off = voxel_scale * F(0.05)
         hit_t = entry_t + b_t - t_off
-        hit_point = origin + direction * hit_t[:, None] + s["normal"] * t_off
 
         found = s["found"] | real_hit
         out_t = jnp.where(real_hit, hit_t, s["out_t"])
-        out_point = jnp.where(real_hit[:, None], hit_point, s["out_point"])
         out_index = jnp.where(real_hit, mat_idx, s["out_index"])
 
         # ---------------- advance ----------------
-        brick_steps = b_act & ~real_hit       # empty voxel or ignored material
+        brick_steps = b_act & ~real_hit
         grid_steps = (g_act & ~enter) | b_exit
         running = running & ~g_miss & ~real_hit
-        level = jnp.where(b_exit, 0, level)
+        in_brick = in_brick & ~b_exit
 
-        bt_new, b_side2, b_local2, b_normal = _dda_step(
-            b_side, b_local, normal_axis, ray_delta, ray_step, voxel_scale)
-        b_t = jnp.where(brick_steps, bt_new, b_t)
-        b_side = jnp.where(brick_steps[:, None], b_side2, b_side)
-        b_local = jnp.where(brick_steps[:, None], b_local2, b_local)
+        # one fused DDA advance for whichever level the lane is on
+        # (brick_raytracer.comp:344-372 / :439-467)
+        csx = jnp.where(brick_steps, bsx, s["sx"])
+        csy = jnp.where(brick_steps, bsy, s["sy"])
+        csz = jnp.where(brick_steps, bsz, s["sz"])
+        ax = (csx < csy) & (csx < csz)
+        ay = ~(csx < csy) & (csy < csz)
+        az = ~(ax | ay)
+        stepping = brick_steps | grid_steps
+        step_scale = jnp.where(brick_steps, voxel_scale, scale)
+        t_new = jnp.where(ax, csx, jnp.where(ay, csy, csz)) * step_scale
 
-        gt_new, g_side2, g_local2, g_normal = _dda_step(
-            s["side"], s["local"], normal_axis, ray_delta, ray_step, scale)
-        t_value = jnp.where(grid_steps, gt_new, s["t_value"])
-        side = jnp.where(grid_steps[:, None], g_side2, s["side"])
-        local = jnp.where(grid_steps[:, None], g_local2, s["local"])
+        def adv(sv, lv, delta, st, sel):
+            return (jnp.where(sel, sv + delta, sv), jnp.where(sel, lv + st, lv))
 
-        normal = jnp.where(brick_steps[:, None], b_normal,
-                           jnp.where(grid_steps[:, None], g_normal, s["normal"]))
+        bsx, blx = adv(bsx, blx, adx, stx, brick_steps & ax)
+        bsy, bly = adv(bsy, bly, ady, sty, brick_steps & ay)
+        bsz, blz = adv(bsz, blz, adz, stz, brick_steps & az)
+        b_t = jnp.where(brick_steps, t_new, b_t)
+
+        gsx, glx = adv(s["sx"], s["lx"], adx, stx, grid_steps & ax)
+        gsy, gly = adv(s["sy"], s["ly"], ady, sty, grid_steps & ay)
+        gsz, glz = adv(s["sz"], s["lz"], adz, stz, grid_steps & az)
+        t_value = jnp.where(grid_steps, t_new, s["t_value"])
+
+        nx = jnp.where(stepping, jnp.where(ax, nax, F(0.0)), s["nx"])
+        ny = jnp.where(stepping, jnp.where(ay, nay, F(0.0)), s["ny"])
+        nz = jnp.where(stepping, jnp.where(az, naz, F(0.0)), s["nz"])
 
         return dict(
-            running=running, level=level, local=local, side=side,
-            t_value=t_value, normal=normal, global_t=global_t,
-            b_local=b_local, b_side=b_side, b_t=b_t, entry_t=entry_t,
-            brick_index=brick_index, brick_min=brick_min,
+            running=running, in_brick=in_brick,
+            lx=glx, ly=gly, lz=glz, sx=gsx, sy=gsy, sz=gsz,
+            t_value=t_value, nx=nx, ny=ny, nz=nz, global_t=global_t,
+            blx=blx, bly=bly, blz=blz, bsx=bsx, bsy=bsy, bsz=bsz,
+            b_t=b_t, entry_t=entry_t, occ_lo=occ_lo, occ_hi=occ_hi,
+            mat_start=mat_start, bminx=bminx, bminy=bminy, bminz=bminz,
             local_t_max=local_t_max, found=found, out_t=out_t,
-            out_point=out_point, out_index=out_index, step=s["step"] + 1,
+            out_index=out_index, step=s["step"] + 1,
         )
 
     s = jax.lax.while_loop(cond, body, state)
-    return dict(found=s["found"], t=s["out_t"], point=s["out_point"],
-                normal=s["normal"], index=s["out_index"])
+
+    # hit point from the final normal (brick_raytracer.comp:431-433)
+    t_off = voxel_scale * F(0.05)
+    px = ox + dx * s["out_t"] + s["nx"] * t_off
+    py = oy + dy * s["out_t"] + s["ny"] * t_off
+    pz = oz + dz * s["out_t"] + s["nz"] * t_off
+    return dict(found=s["found"], t=s["out_t"], px=px, py=py, pz=pz,
+                nx=s["nx"], ny=s["ny"], nz=s["nz"], index=s["out_index"])
 
 
 def transmission_direction(n1, n2, ray_dir, normal):
-    """Bec's-method refraction (brick_raytracer.comp:564-574)."""
+    """Bec's-method refraction (brick_raytracer.comp:564-574).
+    AoS convenience wrapper used by tests."""
     eta = n1 / n2
     c1 = -jnp.sum(ray_dir * normal, axis=-1)
     w = eta * c1
@@ -307,100 +424,175 @@ def background_color(direction):
     return (F(1.0) - t)[:, None] * white + t[:, None] * blue
 
 
+def _rand_vec3_range_soa(cox, coy, lo, hi):
+    """SoA GLSL RandVec3(co, min, max) (rand.comp:15-20)."""
+    x = rng.rand2(jnp.stack([cox, coy], axis=-1), xp=jnp)
+    x = lo + (hi - lo) * x
+    y = rng.rand2(jnp.stack([cox + x, coy + x], axis=-1), xp=jnp)
+    y = lo + (hi - lo) * y
+    z = rng.rand2(jnp.stack([cox + y, coy + y], axis=-1), xp=jnp)
+    z = lo + (hi - lo) * z
+    return x, y, z
+
+
 def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
               origin, direction, max_bounce: int,
               sun_position, sun_enabled: bool, sun_color, sun_radius,
-              max_steps: int = 768):
+              max_steps: int = 768, tables=None):
     """Path-traced radiance for a wavefront (RayColor,
-    brick_raytracer.comp:203-265). `max_bounce` and `sun_enabled` are static.
+    brick_raytracer.comp:203-265), SoA. `max_bounce`/`sun_enabled` static.
+
+    Returns f32[N, 3] tone-mapped color.
     """
-    n = origin.shape[0]
-    color = jnp.zeros((n, 3), dtype=F)
-    cur_origin = origin
-    cur_dir = _normalize(direction)
+    ox, oy, oz = _split3(jnp.asarray(origin, dtype=F))
+    dx, dy, dz = _split3(jnp.asarray(direction, dtype=F))
+    return _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
+                          max_bounce, sun_position, sun_enabled, sun_color,
+                          sun_radius, max_steps, tables)
+
+
+def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
+                   sun_position, sun_enabled, sun_color, sun_radius,
+                   max_steps, tables=None):
+    n = ox.shape[0]
+    if tables is None:
+        tables = build_trace_tables(static, arrays)
+    dx, dy, dz = _norm3(dx, dy, dz)
+    cr = jnp.zeros(n, dtype=F)
+    cg = jnp.zeros(n, dtype=F)
+    cb = jnp.zeros(n, dtype=F)
     internal_refl = jnp.ones(n, dtype=F)
     ignore_type = jnp.full(n, MAT_NONE, dtype=jnp.int32)
     loop_count = jnp.zeros(n, dtype=jnp.int32)
     bouncing = jnp.ones(n, dtype=jnp.bool_)
     inf = F(jnp.inf)
+    sun_position = jnp.asarray(sun_position, dtype=F)
+    sun_color = jnp.asarray(sun_color, dtype=F)
+    sun_radius = jnp.asarray(sun_radius, dtype=F)
+
+    # original direction for the background of never-hit rays
+    odx, ody, odz = dx, dy, dz
 
     for _ in range(max_bounce):
-        hits = grid_hit(static, arrays, mats, cur_origin, cur_dir, inf,
-                        ignore_type, internal_refl, bouncing, max_steps)
-        active = bouncing & hits["found"]
+        h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
+                          inf, ignore_type, internal_refl, bouncing, max_steps,
+                          tables)
+        active = bouncing & h["found"]
 
-        mat_idx = hits["index"]
+        mat_idx = h["index"]
+        alb = mats.albedo[mat_idx]               # one row gather per bounce
+        ar, ag, ab = alb[:, 0], alb[:, 1], alb[:, 2]
         mtype = mats.mtype[mat_idx]
-        attenuation = mats.albedo[mat_idx]
         type_data = mats.type_data[mat_idx]
         known = mtype <= MAT_DIELECTRIC
         loop_count = loop_count + (active & known).astype(jnp.int32)
 
-        point = hits["point"]
-        normal = hits["normal"]
-        co = jnp.stack([point[:, 0] + point[:, 2],
-                        point[:, 1] + point[:, 2]], axis=-1)
+        px, py, pz = h["px"], h["py"], h["pz"]
+        nx, ny, nz = h["nx"], h["ny"], h["nz"]
+        cox = px + pz
+        coy = py + pz
 
         # lambertian (brick_raytracer.comp:539-544)
-        lam_dir = _normalize(normal + rng.rand_vec3_range(co, -0.4, 0.4, xp=jnp))
+        rx, ry, rz = _rand_vec3_range_soa(cox, coy, F(-0.4), F(0.4))
+        lamx, lamy, lamz = _norm3(nx + rx, ny + ry, nz + rz)
 
         # metal (brick_raytracer.comp:546-551)
+        dn = _dot3(dx, dy, dz, nx, ny, nz)
+        refx = dx - F(2.0) * dn * nx
+        refy = dy - F(2.0) * dn * ny
+        refz = dz - F(2.0) * dn * nz
         fuzz = type_data
-        reflected = _reflect(cur_dir, normal)
-        met_dir = _normalize(reflected + rng.rand_vec3_range(co, -fuzz, fuzz, xp=jnp))
-        met_ok = jnp.sum(met_dir * normal, axis=-1) > 0
+        mx, my, mz = _rand_vec3_range_soa(cox, coy, -fuzz, fuzz)
+        metx, mety, metz = _norm3(refx + mx, refy + my, refz + mz)
+        met_ok = _dot3(metx, mety, metz, nx, ny, nz) > 0
 
         # dielectric (brick_raytracer.comp:576-596)
-        d_normal = _normalize(normal + rng.rand_vec3_range(co, -0.05, 0.05, xp=jnp))
+        ex, ey, ez = _rand_vec3_range_soa(cox, coy, F(-0.05), F(0.05))
+        dnx, dny, dnz = _norm3(nx + ex, ny + ey, nz + ez)
         ir = type_data
-        should_refract, refrac_dir = transmission_direction(
-            ir, internal_refl, cur_dir, d_normal)
-        do_refract = should_refract & (rng.rand3(point, xp=jnp) > F(0.5))
-        die_dir = _normalize(jnp.where(do_refract[:, None], refrac_dir,
-                                       _reflect(cur_dir, d_normal)))
+        eta = ir / internal_refl
+        c1 = -_dot3(dx, dy, dz, dnx, dny, dnz)
+        w = eta * c1
+        c2m = (w - eta) * (w + eta)
+        should_refract = c2m >= F(-1.0)
+        wk = w - jnp.sqrt(jnp.maximum(F(1.0) + c2m, 0.0))
+        tx = eta * dx + wk * dnx
+        ty = eta * dy + wk * dny
+        tz = eta * dz + wk * dnz
+        rnd = rng.rand3(jnp.stack([px, py, pz], axis=-1), xp=jnp)
+        do_refract = should_refract & (rnd > F(0.5))
+        ddn = _dot3(dx, dy, dz, dnx, dny, dnz)
+        rfx = dx - F(2.0) * ddn * dnx
+        rfy = dy - F(2.0) * ddn * dny
+        rfz = dz - F(2.0) * ddn * dnz
+        diex, diey, diez = _norm3(
+            jnp.where(do_refract, tx, rfx),
+            jnp.where(do_refract, ty, rfy),
+            jnp.where(do_refract, tz, rfz))
 
         is_lam = mtype == MAT_LAMBERTIAN
         is_met = mtype == MAT_METAL
         is_die = mtype == MAT_DIELECTRIC
-        scattered_dir = jnp.where(is_lam[:, None], lam_dir,
-                                  jnp.where(is_met[:, None], met_dir, die_dir))
-        result = jnp.where(is_lam, True,
-                           jnp.where(is_met, met_ok, is_die))
-        new_ignore = jnp.where(is_die & do_refract, MAT_DIELECTRIC, MAT_NONE
-                               ).astype(jnp.int32)
+        sdx = jnp.where(is_lam, lamx, jnp.where(is_met, metx, diex))
+        sdy = jnp.where(is_lam, lamy, jnp.where(is_met, mety, diey))
+        sdz = jnp.where(is_lam, lamz, jnp.where(is_met, metz, diez))
+        result = jnp.where(is_lam, True, jnp.where(is_met, met_ok, is_die))
+        new_ignore = jnp.where(is_die & do_refract, MAT_DIELECTRIC,
+                               MAT_NONE).astype(jnp.int32)
         new_internal = jnp.where(is_die & do_refract, ir, F(1.0))
 
         if sun_enabled:
-            sco = jnp.stack([cur_dir[:, 0] + cur_dir[:, 2],
-                             cur_dir[:, 1] + cur_dir[:, 2]], axis=-1)
-            sun_sample = sun_position + rng.rand_vec3_range(
-                sco, -sun_radius, sun_radius, xp=jnp)
-            shadow_dir = _normalize(sun_sample - point)
-            sh = grid_hit(static, arrays, mats, point, shadow_dir, inf,
-                          jnp.full(n, MAT_NONE, dtype=jnp.int32),
-                          jnp.ones(n, dtype=F), active, max_steps)
+            scox = dx + dz
+            scoy = dy + dz
+            sx_, sy_, sz_ = _rand_vec3_range_soa(scox, scoy, -sun_radius,
+                                                 sun_radius)
+            shx = sun_position[0] + sx_ - px
+            shy = sun_position[1] + sy_ - py
+            shz = sun_position[2] + sz_ - pz
+            shx, shy, shz = _norm3(shx, shy, shz)
+            sh = _grid_hit_soa(static, arrays, mats, px, py, pz, shx, shy, shz,
+                               inf, jnp.full(n, MAT_NONE, dtype=jnp.int32),
+                               jnp.ones(n, dtype=F), active, max_steps, tables)
             lit = active & ~sh["found"]
-            color = color + jnp.where(lit[:, None], attenuation * sun_color, 0.0)
+            cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
+            cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
+            cb = cb + jnp.where(lit, ab * sun_color[2], F(0.0))
         else:
-            color = color + jnp.where(active[:, None], attenuation, 0.0)
+            cr = cr + jnp.where(active, ar, F(0.0))
+            cg = cg + jnp.where(active, ag, F(0.0))
+            cb = cb + jnp.where(active, ab, F(0.0))
 
         bouncing = active & result
-        cur_origin = jnp.where(active[:, None], point, cur_origin)
-        cur_dir = jnp.where(bouncing[:, None], scattered_dir, cur_dir)
+        ox = jnp.where(active, px, ox)
+        oy = jnp.where(active, py, oy)
+        oz = jnp.where(active, pz, oz)
+        dx = jnp.where(bouncing, sdx, dx)
+        dy = jnp.where(bouncing, sdy, dy)
+        dz = jnp.where(bouncing, sdz, dz)
         internal_refl = jnp.where(active, new_internal, internal_refl)
         ignore_type = jnp.where(active, new_ignore, ignore_type)
 
-    never_hit = loop_count == 0
-    bg_scale = sun_color if sun_enabled else jnp.ones(3, dtype=F)
-    color = color + jnp.where(never_hit[:, None],
-                              background_color(cur_dir) * bg_scale, 0.0)
-    return color / (color + F(1.0))
+    # background for never-hit rays (brick_raytracer.comp:260-262); a ray
+    # that never hits keeps its original direction
+    never = loop_count == 0
+    t = F(0.5) * (ody + F(1.0))
+    bgr = (F(1.0) - t) + t * F(0.5)
+    bgg = (F(1.0) - t) + t * F(0.7)
+    bgb = (F(1.0) - t) + t * F(1.0)
+    if sun_enabled:
+        bgr, bgg, bgb = bgr * sun_color[0], bgg * sun_color[1], bgb * sun_color[2]
+    cr = cr + jnp.where(never, bgr, F(0.0))
+    cg = cg + jnp.where(never, bgg, F(0.0))
+    cb = cb + jnp.where(never, bgb, F(0.0))
+
+    return jnp.stack([cr / (cr + F(1.0)), cg / (cg + F(1.0)),
+                      cb / (cb + F(1.0))], axis=-1)
 
 
 def camera_vectors(camera_device) -> dict:
-    """Extract the traced camera basis (the push-constant payload,
-    Camera.zig:183-193) as a pytree of f32 vectors. Image size / spp /
-    max_bounce stay host-side statics (they change shapes/loop counts)."""
+    """Traced camera basis (the push-constant payload, Camera.zig:183-193)
+    as a pytree of f32 vectors. Image size / spp / max_bounce stay
+    host-side statics (they change shapes/loop counts)."""
     d = camera_device
     return dict(
         horizontal=jnp.asarray(d.horizontal, dtype=F),
@@ -410,15 +602,8 @@ def camera_vectors(camera_device) -> dict:
     )
 
 
-def camera_rays(cam: dict, width: int, height: int, sample_index: int,
-                row0=0, rows: int | None = None):
-    """Per-pixel jittered camera rays (kernel main,
-    brick_raytracer.comp:162-171 + CameraGetRay :474-477).
-
-    `row0`/`rows` select a horizontal band of the image — the unit of
-    multi-chip framebuffer-tile sharding (row0 may be a traced scalar).
-
-    Returns (origin f32[rows*W, 3], direction f32[rows*W, 3] unnormalized)."""
+def _camera_rays_soa(cam: dict, width: int, height: int, sample_index: int,
+                     row0=0, rows=None):
     w, h = int(width), int(height)
     rows = h if rows is None else int(rows)
     ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=F), jnp.arange(w, dtype=F),
@@ -431,28 +616,51 @@ def camera_rays(cam: dict, width: int, height: int, sample_index: int,
     noise_y = rng.hash12(jnp.stack([xs * sf, (ys + F(s)) * sf], axis=-1), xp=jnp)
     u = (xs + noise_x) / F(w - 1)
     v = (ys + noise_y) / F(h - 1)
-    ray_dir = (cam["horizontal"] * u[:, None] + cam["lower_left_corner"]
-               + cam["vertical"] * v[:, None] - cam["origin"])
-    origins = jnp.broadcast_to(cam["origin"], ray_dir.shape)
-    return origins, ray_dir
+    hvec = cam["horizontal"]
+    vvec = cam["vertical"]
+    ll = cam["lower_left_corner"]
+    o = cam["origin"]
+    rdx = hvec[0] * u + ll[0] + vvec[0] * v - o[0]
+    rdy = hvec[1] * u + ll[1] + vvec[1] * v - o[1]
+    rdz = hvec[2] * u + ll[2] + vvec[2] * v - o[2]
+    N = rows * w
+    oxs = jnp.broadcast_to(o[0], (N,))
+    oys = jnp.broadcast_to(o[1], (N,))
+    ozs = jnp.broadcast_to(o[2], (N,))
+    return oxs, oys, ozs, rdx, rdy, rdz
+
+
+def camera_rays(cam: dict, width: int, height: int, sample_index: int,
+                row0=0, rows: int | None = None):
+    """Per-pixel jittered camera rays (kernel main,
+    brick_raytracer.comp:162-171 + CameraGetRay :474-477) — AoS convenience
+    wrapper (tests); the render path uses the SoA internals."""
+    oxs, oys, ozs, rdx, rdy, rdz = _camera_rays_soa(
+        cam, width, height, sample_index, row0, rows)
+    return (jnp.stack([oxs, oys, ozs], axis=-1),
+            jnp.stack([rdx, rdy, rdz], axis=-1))
 
 
 def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 cam: dict, width: int, height: int, spp: int, max_bounce: int,
                 sun_position, sun_color, sun_radius, sun_enabled: bool,
-                row0=0, rows: int | None = None, max_steps: int = 768):
+                row0=0, rows: int | None = None, max_steps: int = 768,
+                tables=None):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178)."""
     w, h = int(width), int(height)
     rows = h if rows is None else int(rows)
+    if tables is None:
+        tables = build_trace_tables(static, arrays)
     color = jnp.zeros((rows * w, 3), dtype=F)
     for s in range(spp):
-        origins, dirs = camera_rays(cam, w, h, s, row0=row0, rows=rows)
-        color = color + ray_color(
-            static, arrays, mats, origins, dirs, max_bounce,
+        oxs, oys, ozs, rdx, rdy, rdz = _camera_rays_soa(
+            cam, w, h, s, row0=row0, rows=rows)
+        color = color + _ray_color_soa(
+            static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
             jnp.asarray(sun_position, dtype=F), sun_enabled,
             jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
-            max_steps)
+            max_steps, tables)
     color = jnp.sqrt(color / F(spp))
     return color.reshape(rows, w, 3)
 

@@ -71,13 +71,15 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
     out_w = out_width or width
     out_h = out_height or height
 
-    def trace_shard(arrays, mats, cam, sun_position, sun_color, sun_radius):
+    def trace_shard(arrays, tables, mats, cam, sun_position, sun_color,
+                    sun_radius):
         tile = jax.lax.axis_index(TILE_AXIS)
         row0 = (tile * rows).astype(F)
         return trace_mod.render_rows(
             static, arrays, mats, cam, width, height, spp, max_bounce,
             sun_position, sun_color, sun_radius, sun_enabled,
-            row0=row0, rows=rows, max_steps=trace_config.max_steps)
+            row0=row0, rows=rows, max_steps=trace_config.max_steps,
+            tables=tables)
 
     # check_vma=False: the DDA while_loop seeds its carry with unvarying
     # zeros that become tile-varying through the loop body, which the
@@ -85,15 +87,16 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
     # per-shard.
     sharded_trace = jax.shard_map(
         trace_shard, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS),
         check_vma=False,
     )
 
     @jax.jit
     def step(arrays, mats, cam, sun_position, sun_color, sun_radius):
-        img = sharded_trace(arrays, mats, cam, sun_position, sun_color,
-                            sun_radius)
+        tables = trace_mod.build_trace_tables(static, arrays)
+        img = sharded_trace(arrays, tables, mats, cam, sun_position,
+                            sun_color, sun_radius)
         if denoiser.enabled:
             return denoise_mod.denoise(
                 img, samples=int(denoiser.samples),
