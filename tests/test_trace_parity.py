@@ -132,3 +132,36 @@ def test_max_steps_bound_terminates():
                             jnp.ones(1, jnp.float32), jnp.ones(1, bool),
                             max_steps=2)
     assert not bool(capped["found"][0])
+
+
+def test_empty_skip_matches_exact(scene):
+    """Distance-field skipping must produce (near-)identical hit results."""
+    sc = scene
+    cam = Camera(75.0, 48, 48, CameraConfig(origin=(4.0, 10.0, 25.0)))
+    d = cam.d_camera
+    w, h = 48, 48
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    u = (xs / np.float32(w - 1)).ravel()
+    v = (ys / np.float32(h - 1)).ravel()
+    rd = (d.horizontal * u[:, None] + d.lower_left_corner
+          + d.vertical * v[:, None] - d.origin).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = np.broadcast_to(d.origin, rd.shape).astype(np.float32).copy()
+    n = rd.shape[0]
+
+    arrays = sc.grid.device_arrays()
+    mats = trace.materials_to_device(sc.materials)
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.float32(np.inf),
+            jnp.full(n, 3, jnp.int32), jnp.ones(n, jnp.float32),
+            jnp.ones(n, bool))
+    exact = trace.grid_hit(sc.grid.static, arrays, mats, *args, use_skip=False)
+    fast = trace.grid_hit(sc.grid.static, arrays, mats, *args, use_skip=True)
+    f_e = np.asarray(exact["found"])
+    f_f = np.asarray(fast["found"])
+    assert (f_e == f_f).mean() > 0.995
+    both = f_e & f_f
+    assert (np.asarray(exact["index"])[both]
+            == np.asarray(fast["index"])[both]).mean() > 0.995
+    np.testing.assert_allclose(np.asarray(fast["t"])[both],
+                               np.asarray(exact["t"])[both], atol=1e-2)

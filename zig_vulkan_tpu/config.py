@@ -84,6 +84,11 @@ class TraceConfig:
     max_steps: int = 768
     rays_per_batch: int = 4 * 1024 * 1024
     use_pallas: bool = False  # experimental Pallas tile tracer
+    # empty-space skipping via the Chebyshev distance field: semantically
+    # hit-equivalent, but float re-derivation of the DDA cursor after a
+    # jump can flip grazing-voxel outcomes in rare cases; disable for
+    # bit-exact reference parity
+    empty_skip: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,7 +88,8 @@ class VoxelRT:
     def _build_step(self, key):
         """Trace+postprocess jitted for one static configuration."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
-         dn_enabled, dn_samples, dn_pixel_multiplier, max_steps) = key
+         dn_enabled, dn_samples, dn_pixel_multiplier, max_steps,
+         empty_skip) = key
         static = self.grid_static
 
         def step(arrays, tables, mats, cam, sun_position, sun_color,
@@ -96,7 +97,7 @@ class VoxelRT:
             img = trace_mod.render_rows(
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
                 sun_position, sun_color, sun_radius, sun_enabled,
-                max_steps=max_steps, tables=tables)
+                max_steps=max_steps, tables=tables, use_skip=empty_skip)
             if dn_enabled:
                 return denoise_mod.denoise(
                     img, samples=dn_samples, distribution_bias=dn_bias,
@@ -114,7 +115,8 @@ class VoxelRT:
                 bool(self.sun.device_data.enabled),
                 bool(self.denoiser.enabled), int(self.denoiser.samples),
                 float(self.denoiser.pixel_multiplier),
-                int(self.trace_config.max_steps))
+                int(self.trace_config.max_steps),
+                bool(self.trace_config.empty_skip))
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""

@@ -113,16 +113,42 @@ def safe_inverse(v):
     return jnp.where(v == 0.0, F(1e12), F(1.0) / v)
 
 
+DIST_CAP = 15  # max encoded empty-space Chebyshev radius
+
+
+def _distance_field(static: GridStatic, loaded):
+    """Chebyshev distance-to-nearest-loaded-cell, capped at DIST_CAP.
+
+    The reference leaves hierarchical acceleration as a TODO
+    (brick_raytracer.comp:145 "higher level grid optimization"); on TPU an
+    iterated 3x3x3 max-dilation (reduce_window) computes the field in a few
+    fused vector passes, and the DDA uses it to leap D-1 cells of empty
+    space per lookup instead of stepping cell by cell.
+    """
+    vol = loaded.reshape(static.dim_y, static.dim_z, static.dim_x)
+    dist = jnp.full(vol.shape, DIST_CAP, dtype=jnp.int32)
+    dist = jnp.where(vol, 0, dist)
+    reach = vol
+    for d in range(1, DIST_CAP):
+        reach = jax.lax.reduce_window(
+            reach, False, jax.lax.bitwise_or,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+            padding="SAME")
+        dist = jnp.minimum(dist, jnp.where(reach, d, DIST_CAP))
+    return dist.reshape(-1)
+
+
 def build_trace_tables(static: GridStatic, arrays: GridArrays):
     """Per-cell traversal records: int32[cells, 4] rows of
     {material window start (or -1 = empty cell), occupancy word 0,
-    occupancy word 1, brick slot}.
+    occupancy word 1, empty-space Chebyshev skip distance}.
 
     This fuses everything the traversal needs per grid cell — the
     reference's separate status-bit, brick-index, occupancy, and
     start-index fetches (State.zig:86-127) — into ONE row gather at brick
     entry, and makes every in-brick voxel test gather-free (the 64
-    occupancy bits ride in lane-local registers).
+    occupancy bits ride in lane-local registers). Lane 3 carries the
+    distance field driving empty-space skipping (see _distance_field).
 
     Depends only on the scene, not the camera: the engine caches it across
     frames and rebuilds after edits.
@@ -135,18 +161,21 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays):
     occ_rows = occ2[brick]
     start = arrays.start_indices[brick]
     start = jnp.where(loaded, start, _EMPTY)
+    # cell index space is x + dim_x*(z + dim_z*y) -> volume (y, z, x)
+    dist = _distance_field(static, loaded)
     return jnp.stack(
         [start.astype(jnp.int32),
          occ_rows[:, 0].astype(jnp.int32),
          occ_rows[:, 1].astype(jnp.int32),
-         brick],
+         dist],
         axis=-1)
 
 
-@partial(jax.jit, static_argnames=("static", "max_steps"))
+@partial(jax.jit, static_argnames=("static", "max_steps", "use_skip"))
 def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
              origin, direction, t_max, ignore_type, internal_reflection,
-             active, max_steps: int = 768, tables=None):
+             active, max_steps: int = 768, tables=None,
+             use_skip: bool = False):
     """Two-level DDA traversal for a wavefront of rays (GLSL GridHit +
     BrickHit, brick_raytracer.comp:271-471) — SoA, gather-minimized.
 
@@ -164,7 +193,8 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
     dx, dy, dz = _split3(direction)
     out = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                         jnp.asarray(t_max, dtype=F), ignore_type,
-                        internal_reflection, active, max_steps, tables)
+                        internal_reflection, active, max_steps, tables,
+                        use_skip)
     return dict(
         found=out["found"],
         t=out["t"],
@@ -176,7 +206,7 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
 
 def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
                   ignore_type, internal_reflection, active, max_steps,
-                  tables=None):
+                  tables=None, use_skip=False):
     n = ox.shape[0]
     gx0, gy0, gz0 = (F(v) for v in static.min_point)
     gx1, gy1, gz1 = (F(v) for v in static.max_point)
@@ -222,17 +252,27 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     naz = jnp.where(stz < 0, F(1.0), F(-1.0))
     stxf, styf, stzf = stx.astype(F), sty.astype(F), stz.astype(F)
 
-    # grid-level DDA init (brick_raytracer.comp:287-311)
+    # grid-level DDA (re-)init (brick_raytracer.comp:287-311): derives the
+    # DDA cursor from the ray position at t_base + 1e-4*scale. Used at slab
+    # entry and again after every empty-space skip jump.
+    def grid_init(t_base):
+        t0 = t_base + F(1e-4) * scale
+        fpx = (ox + dx * t0 - gx0) / scale
+        fpy = (oy + dy * t0 - gy0) / scale
+        fpz = (oz + dz * t0 - gz0) / scale
+        sx = (stxf * (jnp.floor(fpx) - fpx) + (stxf * F(0.5) + F(0.5))) * adx
+        sy = (styf * (jnp.floor(fpy) - fpy) + (styf * F(0.5) + F(0.5))) * ady
+        sz = (stzf * (jnp.floor(fpz) - fpz) + (stzf * F(0.5) + F(0.5))) * adz
+        lx = jnp.floor(fpx).astype(jnp.int32)
+        ly = jnp.floor(fpy).astype(jnp.int32)
+        lz = jnp.floor(fpz).astype(jnp.int32)
+        return sx, sy, sz, lx, ly, lz
+
+    sx0, sy0, sz0, lx0, ly0, lz0 = grid_init(grid_t_min)
     global_t0 = grid_t_min + F(1e-4) * scale
-    fpx = (ox + dx * global_t0 - gx0) / scale
-    fpy = (oy + dy * global_t0 - gy0) / scale
-    fpz = (oz + dz * global_t0 - gz0) / scale
-    sx0 = (stxf * (jnp.floor(fpx) - fpx) + (stxf * F(0.5) + F(0.5))) * adx
-    sy0 = (styf * (jnp.floor(fpy) - fpy) + (styf * F(0.5) + F(0.5))) * ady
-    sz0 = (stzf * (jnp.floor(fpz) - fpz) + (stzf * F(0.5) + F(0.5))) * adz
-    lx0 = jnp.floor(fpx).astype(jnp.int32)
-    ly0 = jnp.floor(fpy).astype(jnp.int32)
-    lz0 = jnp.floor(fpz).astype(jnp.int32)
+    # safe Chebyshev advance per unit D (normalized dir: max |component|)
+    inv_max_abs_d = F(1.0) / jnp.maximum(jnp.abs(dx),
+                                         jnp.maximum(jnp.abs(dy), jnp.abs(dz)))
 
     zf = jnp.zeros(n, dtype=F)
     zi = jnp.zeros(n, dtype=jnp.int32)
@@ -241,6 +281,7 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         in_brick=jnp.zeros(n, dtype=jnp.bool_),
         lx=lx0, ly=ly0, lz=lz0,
         sx=sx0, sy=sy0, sz=sz0,
+        t_base=grid_t_min,
         t_value=zf,
         nx=nx0, ny=ny0, nz=nz0,
         global_t=global_t0,
@@ -290,10 +331,22 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         mat_start = jnp.where(enter, start_raw & jnp.int32(0x7FFFFFFF),
                               s["mat_start"])
 
+        # empty-space skip: leap D-1 cells and re-derive the DDA cursor
+        if use_skip:
+            dist = rec[:, 3]
+            do_skip = g_act & ~enter & (dist >= 2)
+            cur_t = s["t_base"] + F(1e-4) * scale + s["t_value"]
+            new_base = cur_t + (dist.astype(F) - F(1.0)) * scale * inv_max_abs_d
+            t_base = jnp.where(do_skip, new_base, s["t_base"])
+            rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+        else:
+            do_skip = jnp.zeros_like(g_act)
+            t_base = s["t_base"]
+
         bminx = jnp.where(enter, s["lx"].astype(F) * scale + gx0, s["bminx"])
         bminy = jnp.where(enter, s["ly"].astype(F) * scale + gy0, s["bminy"])
         bminz = jnp.where(enter, s["lz"].astype(F) * scale + gz0, s["bminz"])
-        new_global_t = s["t_value"] + grid_t_min + F(0.01) * scale
+        new_global_t = s["t_value"] + s["t_base"] + F(0.01) * scale
         entry_t = jnp.where(enter, new_global_t, s["entry_t"])
         global_t = jnp.where(enter, new_global_t, s["global_t"])
 
@@ -348,7 +401,7 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
 
         # ---------------- advance ----------------
         brick_steps = b_act & ~real_hit
-        grid_steps = (g_act & ~enter) | b_exit
+        grid_steps = ((g_act & ~enter) | b_exit) & ~do_skip
         running = running & ~g_miss & ~real_hit
         in_brick = in_brick & ~b_exit
 
@@ -376,6 +429,14 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         gsy, gly = adv(s["sy"], s["ly"], ady, sty, grid_steps & ay)
         gsz, glz = adv(s["sz"], s["lz"], adz, stz, grid_steps & az)
         t_value = jnp.where(grid_steps, t_new, s["t_value"])
+        if use_skip:
+            gsx = jnp.where(do_skip, rsx, gsx)
+            gsy = jnp.where(do_skip, rsy, gsy)
+            gsz = jnp.where(do_skip, rsz, gsz)
+            glx = jnp.where(do_skip, rlx, glx)
+            gly = jnp.where(do_skip, rly, gly)
+            glz = jnp.where(do_skip, rlz, glz)
+            t_value = jnp.where(do_skip, F(0.0), t_value)
 
         nx = jnp.where(stepping, jnp.where(ax, nax, F(0.0)), s["nx"])
         ny = jnp.where(stepping, jnp.where(ay, nay, F(0.0)), s["ny"])
@@ -384,6 +445,7 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         return dict(
             running=running, in_brick=in_brick,
             lx=glx, ly=gly, lz=glz, sx=gsx, sy=gsy, sz=gsz,
+            t_base=t_base,
             t_value=t_value, nx=nx, ny=ny, nz=nz, global_t=global_t,
             blx=blx, bly=bly, blz=blz, bsx=bsx, bsy=bsy, bsz=bsz,
             b_t=b_t, entry_t=entry_t, occ_lo=occ_lo, occ_hi=occ_hi,
@@ -438,7 +500,7 @@ def _rand_vec3_range_soa(cox, coy, lo, hi):
 def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
               origin, direction, max_bounce: int,
               sun_position, sun_enabled: bool, sun_color, sun_radius,
-              max_steps: int = 768, tables=None):
+              max_steps: int = 768, tables=None, use_skip: bool = False):
     """Path-traced radiance for a wavefront (RayColor,
     brick_raytracer.comp:203-265), SoA. `max_bounce`/`sun_enabled` static.
 
@@ -448,12 +510,12 @@ def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
     dx, dy, dz = _split3(jnp.asarray(direction, dtype=F))
     return _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                           max_bounce, sun_position, sun_enabled, sun_color,
-                          sun_radius, max_steps, tables)
+                          sun_radius, max_steps, tables, use_skip)
 
 
 def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    sun_position, sun_enabled, sun_color, sun_radius,
-                   max_steps, tables=None):
+                   max_steps, tables=None, use_skip=False):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
@@ -476,7 +538,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     for _ in range(max_bounce):
         h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                           inf, ignore_type, internal_refl, bouncing, max_steps,
-                          tables)
+                          tables, use_skip)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -552,7 +614,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             shx, shy, shz = _norm3(shx, shy, shz)
             sh = _grid_hit_soa(static, arrays, mats, px, py, pz, shx, shy, shz,
                                inf, jnp.full(n, MAT_NONE, dtype=jnp.int32),
-                               jnp.ones(n, dtype=F), active, max_steps, tables)
+                               jnp.ones(n, dtype=F), active, max_steps, tables,
+                               use_skip)
             lit = active & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
@@ -645,7 +708,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 cam: dict, width: int, height: int, spp: int, max_bounce: int,
                 sun_position, sun_color, sun_radius, sun_enabled: bool,
                 row0=0, rows: int | None = None, max_steps: int = 768,
-                tables=None):
+                tables=None, use_skip: bool = False):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178)."""
     w, h = int(width), int(height)
@@ -660,7 +723,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
             static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
             jnp.asarray(sun_position, dtype=F), sun_enabled,
             jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
-            max_steps, tables)
+            max_steps, tables, use_skip)
     color = jnp.sqrt(color / F(spp))
     return color.reshape(rows, w, 3)
 
@@ -676,4 +739,4 @@ def render_image(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
         int(d.image_width), int(d.image_height),
         int(d.samples_per_pixel), int(d.max_bounce),
         sun_position, sun_color, sun_radius, sun_enabled,
-        max_steps=trace_config.max_steps)
+        max_steps=trace_config.max_steps, use_skip=trace_config.empty_skip)
