@@ -474,3 +474,40 @@ def remove_edits(static: GridStatic, arrays: GridArrays, xyz, valid):
         jnp.where(v_s, w_s, a.occupancy.shape[0])
     ].add(jnp.uint32(0) - sub_bits, mode="drop")
     return dataclasses.replace(arrays, occupancy=occupancy)
+
+
+def dense_materials(static: GridStatic, arrays: GridArrays) -> np.ndarray:
+    """Decode the scene into a dense int16[vx, vy, vz] volume (-1 = empty).
+
+    Brick-slot-numbering independent: used to compare scenes built by
+    different (e.g. multithreaded native vs vectorized numpy) builders.
+    """
+    vx, vy, vz = (
+        static.dim_x * BRICK_DIMENSION,
+        static.dim_y * BRICK_DIMENSION,
+        static.dim_z * BRICK_DIMENSION,
+    )
+    out = np.full((vx, vy, vz), -1, dtype=np.int16)
+    x, y, z = np.meshgrid(np.arange(vx), np.arange(vy), np.arange(vz),
+                          indexing="ij")
+    fy = (vy - 1) - y
+    cell = (x // BRICK_DIMENSION
+            + static.dim_x * ((z // BRICK_DIMENSION)
+                              + static.dim_z * (fy // BRICK_DIMENSION)))
+    nth = ((x % BRICK_DIMENSION)
+           + BRICK_DIMENSION * ((z % BRICK_DIMENSION)
+                                + BRICK_DIMENSION * (fy % BRICK_DIMENSION)))
+    statuses = np.asarray(arrays.statuses)
+    indices = np.asarray(arrays.indices)
+    occupancy = np.asarray(arrays.occupancy)
+    starts = np.asarray(arrays.start_indices)
+    mats = np.asarray(arrays.material_indices)
+    loaded = ((statuses[cell // 32] >> (cell % 32).astype(np.uint32)) & 1) == 1
+    brick = indices[cell].astype(np.int64)
+    word = brick * BRICK_WORDS + nth // 32
+    occ = ((occupancy[word] >> (nth % 32).astype(np.uint32)) & 1) == 1
+    solid = loaded & occ
+    start = (starts[brick] & np.uint32(0x7FFFFFFF)).astype(np.int64)
+    midx = mats[np.clip(start + nth, 0, mats.size - 1)]
+    out[solid] = midx[solid].astype(np.int16)
+    return out
