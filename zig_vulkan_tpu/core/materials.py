@@ -24,6 +24,9 @@ MAT_LAMBERTIAN = 0
 MAT_METAL = 1
 MAT_DIELECTRIC = 2
 MAT_NONE = 3
+# superset feature (BASELINE.json config 4): emissive voxels; type_data is
+# the emission strength multiplier. The reference has no emissive type.
+MAT_EMISSIVE = 4
 
 MATERIAL_TABLE_SIZE = 256
 

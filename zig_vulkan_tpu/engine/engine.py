@@ -83,29 +83,44 @@ class VoxelRT:
         self._tables = None
         self._tables_fn = jax.jit(trace_mod.build_trace_tables, static_argnums=0)
 
+        # temporal accumulation (superset; BASELINE config 4): running
+        # average of traced frames while the camera/sun pose is static,
+        # with fresh per-frame jitter seeds
+        self.temporal_enabled = False
+        self._accum = None
+        self._accum_count = 0
+        self._pose_key = None
+
     # -- render step -----------------------------------------------------------
 
     def _build_step(self, key):
-        """Trace+postprocess jitted for one static configuration."""
+        """Trace+(accumulate)+postprocess jitted for one static config."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_samples, dn_pixel_multiplier, max_steps,
-         empty_skip) = key
+         empty_skip, temporal) = key
         static = self.grid_static
 
         def step(arrays, tables, mats, cam, sun_position, sun_color,
-                 sun_radius, dn_bias, dn_hue):
+                 sun_radius, dn_bias, dn_hue, accum, n_accum, sample_base):
             img = trace_mod.render_rows(
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
                 sun_position, sun_color, sun_radius, sun_enabled,
-                max_steps=max_steps, tables=tables, use_skip=empty_skip)
+                max_steps=max_steps, tables=tables, use_skip=empty_skip,
+                sample_base=sample_base)
+            if temporal:
+                # running average over pose-static frames
+                accum = accum + (img - accum) / (n_accum + F(1.0))
+                img = accum
             if dn_enabled:
-                return denoise_mod.denoise(
+                out = denoise_mod.denoise(
                     img, samples=dn_samples, distribution_bias=dn_bias,
                     pixel_multiplier=dn_pixel_multiplier,
                     inverse_hue_tolerance=dn_hue, out_shape=(oh, ow))
-            return denoise_mod.bilinear_resample(img, oh, ow)
+            else:
+                out = denoise_mod.bilinear_resample(img, oh, ow)
+            return out, accum
 
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(9,))
 
     def _step_key(self):
         iw, ih = self.internal_resolution
@@ -116,7 +131,8 @@ class VoxelRT:
                 bool(self.denoiser.enabled), int(self.denoiser.samples),
                 float(self.denoiser.pixel_multiplier),
                 int(self.trace_config.max_steps),
-                bool(self.trace_config.empty_skip))
+                bool(self.trace_config.empty_skip),
+                bool(self.temporal_enabled))
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""
@@ -130,7 +146,24 @@ class VoxelRT:
             # scene-derived traversal records, cached across frames
             # (rebuilt after edits; see ops.trace.build_trace_tables)
             self._tables = self._tables_fn(self.grid_static, self.arrays)
-        return step(
+
+        iw, ih = self.internal_resolution
+        pose = (tuple(np.asarray(self.camera.d_camera.origin).tolist()),
+                tuple(np.asarray(self.camera.d_camera.lower_left_corner).tolist()),
+                tuple(np.asarray(sun.position).tolist()))
+        if self.temporal_enabled and (pose != self._pose_key
+                                      or self._accum is None
+                                      or self._accum.shape != (ih, iw, 3)):
+            self._accum = jnp.zeros((ih, iw, 3), dtype=F)
+            self._accum_count = 0
+        self._pose_key = pose
+        accum = (self._accum if self.temporal_enabled
+                 else jnp.zeros((ih, iw, 3), dtype=F))
+        spp = int(self.camera.d_camera.samples_per_pixel)
+        sample_base = (F(self._accum_count * spp)
+                       if self.temporal_enabled else F(0.0))
+
+        out, new_accum = step(
             self.arrays, self._tables, self.mats,
             trace_mod.camera_vectors(self.camera.d_camera),
             jnp.asarray(sun.position, dtype=F),
@@ -138,7 +171,13 @@ class VoxelRT:
             jnp.asarray(sun.radius, dtype=F),
             jnp.asarray(self.denoiser.distribution_bias, dtype=F),
             jnp.asarray(self.denoiser.inverse_hue_tolerance, dtype=F),
+            accum, jnp.asarray(self._accum_count, dtype=F),
+            jnp.asarray(sample_base, dtype=F),
         )
+        if self.temporal_enabled:
+            self._accum = new_accum
+            self._accum_count += 1
+        return out
 
     def draw(self, dt: float | None = None):
         """Render + record frame metrics (Pipeline.draw analog). Blocks
@@ -165,6 +204,12 @@ class VoxelRT:
         """Update one material's albedo (VoxelRT.zig:90-92 pushAlbedo)."""
         self.materials_host.albedo[index] = np.asarray(albedo, dtype=np.float32)
         self.mats = trace_mod.materials_to_device(self.materials_host)
+
+    def set_temporal(self, enabled: bool) -> None:
+        """Toggle temporal accumulation (superset; BASELINE config 4)."""
+        self.temporal_enabled = bool(enabled)
+        self._accum = None
+        self._accum_count = 0
 
     def set_denoiser(self, **knobs) -> None:
         """Tune denoiser push constants (Pipeline.zig:543-557 setters)."""

@@ -51,6 +51,7 @@ from ..config import BRICK_DIMENSION, BRICK_WORDS, TraceConfig
 from ..core.grid import GridArrays, GridStatic
 from ..core.materials import (
     MAT_DIELECTRIC,
+    MAT_EMISSIVE,
     MAT_LAMBERTIAN,
     MAT_METAL,
     MAT_NONE,
@@ -546,7 +547,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         ar, ag, ab = alb[:, 0], alb[:, 1], alb[:, 2]
         mtype = mats.mtype[mat_idx]
         type_data = mats.type_data[mat_idx]
-        known = mtype <= MAT_DIELECTRIC
+        is_emissive = mtype == MAT_EMISSIVE
+        known = (mtype <= MAT_DIELECTRIC) | is_emissive
         loop_count = loop_count + (active & known).astype(jnp.int32)
 
         px, py, pz = h["px"], h["py"], h["pz"]
@@ -598,10 +600,18 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         sdx = jnp.where(is_lam, lamx, jnp.where(is_met, metx, diex))
         sdy = jnp.where(is_lam, lamy, jnp.where(is_met, mety, diey))
         sdz = jnp.where(is_lam, lamz, jnp.where(is_met, metz, diez))
+        # emissive paths terminate (superset; see core.materials)
         result = jnp.where(is_lam, True, jnp.where(is_met, met_ok, is_die))
         new_ignore = jnp.where(is_die & do_refract, MAT_DIELECTRIC,
                                MAT_NONE).astype(jnp.int32)
         new_internal = jnp.where(is_die & do_refract, ir, F(1.0))
+
+        # emissive contribution: albedo * strength, unshadowed
+        emit = active & is_emissive
+        cr = cr + jnp.where(emit, ar * type_data, F(0.0))
+        cg = cg + jnp.where(emit, ag * type_data, F(0.0))
+        cb = cb + jnp.where(emit, ab * type_data, F(0.0))
+        sun_or_diffuse = active & ~is_emissive
 
         if sun_enabled:
             scox = dx + dz
@@ -616,14 +626,14 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                inf, jnp.full(n, MAT_NONE, dtype=jnp.int32),
                                jnp.ones(n, dtype=F), active, max_steps, tables,
                                use_skip)
-            lit = active & ~sh["found"]
+            lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
             cb = cb + jnp.where(lit, ab * sun_color[2], F(0.0))
         else:
-            cr = cr + jnp.where(active, ar, F(0.0))
-            cg = cg + jnp.where(active, ag, F(0.0))
-            cb = cb + jnp.where(active, ab, F(0.0))
+            cr = cr + jnp.where(sun_or_diffuse, ar, F(0.0))
+            cg = cg + jnp.where(sun_or_diffuse, ag, F(0.0))
+            cb = cb + jnp.where(sun_or_diffuse, ab, F(0.0))
 
         bouncing = active & result
         ox = jnp.where(active, px, ox)
@@ -665,7 +675,7 @@ def camera_vectors(camera_device) -> dict:
     )
 
 
-def _camera_rays_soa(cam: dict, width: int, height: int, sample_index: int,
+def _camera_rays_soa(cam: dict, width: int, height: int, sample_index,
                      row0=0, rows=None):
     w, h = int(width), int(height)
     rows = h if rows is None else int(rows)
@@ -673,10 +683,12 @@ def _camera_rays_soa(cam: dict, width: int, height: int, sample_index: int,
                           indexing="ij")
     xs = xs.ravel()
     ys = ys.ravel() + jnp.asarray(row0, dtype=F)
-    s = sample_index
-    sf = F(0.2) * F(1.0 if s > 0 else 0.0)
-    noise_x = rng.hash12(jnp.stack([(xs + F(s)) * sf, ys * sf], axis=-1), xp=jnp)
-    noise_y = rng.hash12(jnp.stack([xs * sf, (ys + F(s)) * sf], axis=-1), xp=jnp)
+    # sample_index may be a traced scalar (temporal accumulation feeds a
+    # per-frame sample base so successive frames draw fresh jitter)
+    s = jnp.asarray(sample_index, dtype=F)
+    sf = F(0.2) * (s > 0).astype(F)
+    noise_x = rng.hash12(jnp.stack([(xs + s) * sf, ys * sf], axis=-1), xp=jnp)
+    noise_y = rng.hash12(jnp.stack([xs * sf, (ys + s) * sf], axis=-1), xp=jnp)
     u = (xs + noise_x) / F(w - 1)
     v = (ys + noise_y) / F(h - 1)
     hvec = cam["horizontal"]
@@ -708,9 +720,13 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 cam: dict, width: int, height: int, spp: int, max_bounce: int,
                 sun_position, sun_color, sun_radius, sun_enabled: bool,
                 row0=0, rows: int | None = None, max_steps: int = 768,
-                tables=None, use_skip: bool = False):
+                tables=None, use_skip: bool = False, sample_base=0.0):
     """Render a band of image rows (the sharding unit). Returns
-    f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178)."""
+    f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
+
+    `sample_base` (traced scalar) offsets the per-sample jitter seed; the
+    temporal accumulation mode passes frame_index * spp so every frame
+    draws fresh sub-pixel samples."""
     w, h = int(width), int(height)
     rows = h if rows is None else int(rows)
     if tables is None:
@@ -718,7 +734,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
     color = jnp.zeros((rows * w, 3), dtype=F)
     for s in range(spp):
         oxs, oys, ozs, rdx, rdy, rdz = _camera_rays_soa(
-            cam, w, h, s, row0=row0, rows=rows)
+            cam, w, h, jnp.asarray(sample_base, dtype=F) + F(s),
+            row0=row0, rows=rows)
         color = color + _ray_color_soa(
             static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
             jnp.asarray(sun_position, dtype=F), sun_enabled,

@@ -31,6 +31,7 @@ from ..config import BRICK_DIMENSION, BRICK_WORDS
 from ..core.grid import GridArrays, GridStatic
 from ..core.materials import (
     MAT_DIELECTRIC,
+    MAT_EMISSIVE,
     MAT_LAMBERTIAN,
     MAT_METAL,
     MAT_NONE,
@@ -334,8 +335,9 @@ def ray_color(scene: OracleScene, origin, direction, max_bounce: int,
         attenuation = mats.albedo[mat_idx].astype(F)
         type_data = mats.type_data[mat_idx].astype(F)
         # default case decrements the (already incremented) loop counter
-        # (brick_raytracer.comp:235-238)
-        known = mtype <= MAT_DIELECTRIC
+        # (brick_raytracer.comp:235-238); emissive (superset) counts as known
+        is_emissive = mtype == MAT_EMISSIVE
+        known = (mtype <= MAT_DIELECTRIC) | is_emissive
         loop_count += (active & known).astype(np.int32)
 
         co = np.stack([hits.point[:, 0] + hits.point[:, 2],
@@ -375,6 +377,11 @@ def ray_color(scene: OracleScene, origin, direction, max_bounce: int,
         new_ignore = np.where(is_die & do_refract, MAT_DIELECTRIC, MAT_NONE).astype(np.int32)
         new_internal = np.where(is_die & do_refract, ir, F(1.0)).astype(F)
 
+        # emissive contribution (superset): albedo * strength, unshadowed
+        emit = active & is_emissive
+        color[emit] += attenuation[emit] * type_data[emit, None]
+        sun_or_diffuse = active & ~is_emissive
+
         # sun shadow ray from the *incoming* ray direction (brick_raytracer.comp:240-249)
         if sun_enabled:
             sco = np.stack([cur_dir[:, 0] + cur_dir[:, 2],
@@ -385,10 +392,10 @@ def ray_color(scene: OracleScene, origin, direction, max_bounce: int,
             sh = grid_hit(scene, hits.point, shadow_dir, F(1e-5), INFINITY,
                           np.full(n, MAT_NONE, dtype=np.int32),
                           np.ones(n, dtype=F), active)
-            lit = active & ~sh.found
+            lit = sun_or_diffuse & ~sh.found
             color[lit] += attenuation[lit] * sun_color
         else:
-            color[active] += attenuation[active]
+            color[sun_or_diffuse] += attenuation[sun_or_diffuse]
 
         bouncing &= result
         cur_origin = np.where(active[:, None], hits.point, cur_origin).astype(F)
