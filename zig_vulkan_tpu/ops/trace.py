@@ -172,11 +172,12 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays):
         axis=-1)
 
 
-@partial(jax.jit, static_argnames=("static", "max_steps", "use_skip"))
+@partial(jax.jit, static_argnames=("static", "max_steps", "use_skip",
+                                   "bounded_t"))
 def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
              origin, direction, t_max, ignore_type, internal_reflection,
              active, max_steps: int = 768, tables=None,
-             use_skip: bool = False):
+             use_skip: bool = False, bounded_t: bool = True):
     """Two-level DDA traversal for a wavefront of rays (GLSL GridHit +
     BrickHit, brick_raytracer.comp:271-471) — SoA, gather-minimized.
 
@@ -195,7 +196,7 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
     out = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                         jnp.asarray(t_max, dtype=F), ignore_type,
                         internal_reflection, active, max_steps, tables,
-                        use_skip)
+                        use_skip, bounded_t)
     return dict(
         found=out["found"],
         t=out["t"],
@@ -207,7 +208,10 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
 
 def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
                   ignore_type, internal_reflection, active, max_steps,
-                  tables=None, use_skip=False):
+                  tables=None, use_skip=False, bounded_t=True):
+    # bounded_t=False drops the per-ray `global_t` carry: every RayColor
+    # call passes t_max = +inf (brick_raytracer.comp:218, :247), making the
+    # GLSL `global_t_value <= t_max` check (:316) vacuous.
     n = ox.shape[0]
     gx0, gy0, gz0 = (F(v) for v in static.min_point)
     gx1, gy1, gz1 = (F(v) for v in static.max_point)
@@ -236,9 +240,6 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     is_z = (tminz > tminx) & (tminz > tminy)
     is_x = ~(is_y | is_z)
     entry_tmin = jnp.where(is_x, tminx, jnp.where(is_y, tminy, tminz))
-    nx0 = jnp.where(is_x, jnp.sign(ix), F(0.0))
-    ny0 = jnp.where(is_y, jnp.sign(iy), F(0.0))
-    nz0 = jnp.where(is_z, jnp.sign(iz), F(0.0))
     grid_t_min = jnp.maximum(t_min, entry_tmin)
     grid_t_max = jnp.minimum(t_max, jnp.minimum(tmaxx, jnp.minimum(tmaxy, tmaxz)))
     slab_ok = grid_t_min <= grid_t_max
@@ -248,9 +249,6 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     stx = jnp.sign(dx).astype(jnp.int32)
     sty = jnp.sign(dy).astype(jnp.int32)
     stz = jnp.sign(dz).astype(jnp.int32)
-    nax = jnp.where(stx < 0, F(1.0), F(-1.0))
-    nay = jnp.where(sty < 0, F(1.0), F(-1.0))
-    naz = jnp.where(stz < 0, F(1.0), F(-1.0))
     stxf, styf, stzf = stx.astype(F), sty.astype(F), stz.astype(F)
 
     # grid-level DDA (re-)init (brick_raytracer.comp:287-311): derives the
@@ -275,6 +273,16 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     inv_max_abs_d = F(1.0) / jnp.maximum(jnp.abs(dx),
                                          jnp.maximum(jnp.abs(dy), jnp.abs(dz)))
 
+    # normal encoding: 0 +-x by sign of inv_dir (slab), 1..6 = -x,+x,-y,+y,-z,+z
+    # is overkill — encode axis (0,1,2) + sign bit (4): decode post-loop
+    slab_code = jnp.where(
+        is_x, jnp.where(ix >= 0, 0, 4),
+        jnp.where(is_y, jnp.where(iy >= 0, 1, 5),
+                  jnp.where(iz >= 0, 2, 6))).astype(jnp.int32)
+    step_code_x = jnp.where(stx < 0, 0, 4)  # normal +x when stepping -x
+    step_code_y = jnp.where(sty < 0, 1, 5)
+    step_code_z = jnp.where(stz < 0, 2, 6)
+
     zf = jnp.zeros(n, dtype=F)
     zi = jnp.zeros(n, dtype=jnp.int32)
     state = dict(
@@ -284,8 +292,7 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         sx=sx0, sy=sy0, sz=sz0,
         t_base=grid_t_min,
         t_value=zf,
-        nx=nx0, ny=ny0, nz=nz0,
-        global_t=global_t0,
+        ncode=slab_code,
         blx=zi, bly=zi, blz=zi,
         bsx=zf, bsy=zf, bsz=zf,
         b_t=zf,
@@ -300,6 +307,8 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         out_index=zi,
         step=jnp.int32(0),
     )
+    if bounded_t:
+        state["global_t"] = global_t0
 
     def cond(s):
         return jnp.any(s["running"]) & (s["step"] < max_steps)
@@ -312,8 +321,9 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         g = running & ~in_brick
         in_b_g = ((s["lx"] >= 0) & (s["lx"] < dim_x)
                   & (s["ly"] >= 0) & (s["ly"] < dim_y)
-                  & (s["lz"] >= 0) & (s["lz"] < dim_z)
-                  & (s["global_t"] <= t_max))
+                  & (s["lz"] >= 0) & (s["lz"] < dim_z))
+        if bounded_t:
+            in_b_g = in_b_g & (s["global_t"] <= t_max)
         g_miss = g & ~in_b_g
         g_act = g & in_b_g
 
@@ -349,7 +359,6 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         bminz = jnp.where(enter, s["lz"].astype(F) * scale + gz0, s["bminz"])
         new_global_t = s["t_value"] + s["t_base"] + F(0.01) * scale
         entry_t = jnp.where(enter, new_global_t, s["entry_t"])
-        global_t = jnp.where(enter, new_global_t, s["global_t"])
 
         # brick-level DDA init on entry (brick_raytracer.comp:389-405)
         bfx = (ox + dx * entry_t - bminx) / voxel_scale
@@ -439,31 +448,43 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
             glz = jnp.where(do_skip, rlz, glz)
             t_value = jnp.where(do_skip, F(0.0), t_value)
 
-        nx = jnp.where(stepping, jnp.where(ax, nax, F(0.0)), s["nx"])
-        ny = jnp.where(stepping, jnp.where(ay, nay, F(0.0)), s["ny"])
-        nz = jnp.where(stepping, jnp.where(az, naz, F(0.0)), s["nz"])
+        ncode = jnp.where(
+            stepping,
+            jnp.where(ax, step_code_x, jnp.where(ay, step_code_y, step_code_z)),
+            s["ncode"])
 
-        return dict(
+        out = dict(
             running=running, in_brick=in_brick,
             lx=glx, ly=gly, lz=glz, sx=gsx, sy=gsy, sz=gsz,
             t_base=t_base,
-            t_value=t_value, nx=nx, ny=ny, nz=nz, global_t=global_t,
+            t_value=t_value, ncode=ncode,
             blx=blx, bly=bly, blz=blz, bsx=bsx, bsy=bsy, bsz=bsz,
             b_t=b_t, entry_t=entry_t, occ_lo=occ_lo, occ_hi=occ_hi,
             mat_start=mat_start, bminx=bminx, bminy=bminy, bminz=bminz,
             local_t_max=local_t_max, found=found, out_t=out_t,
             out_index=out_index, step=s["step"] + 1,
         )
+        if bounded_t:
+            out["global_t"] = jnp.where(enter, new_global_t, s["global_t"])
+        return out
 
     s = jax.lax.while_loop(cond, body, state)
 
+    # decode the normal code: axis = ncode & 3, sign = + if ncode < 4 else -
+    code = s["ncode"]
+    sign = jnp.where(code < 4, F(1.0), F(-1.0))
+    axis = code & 3
+    nx = jnp.where(axis == 0, sign, F(0.0))
+    ny = jnp.where(axis == 1, sign, F(0.0))
+    nz = jnp.where(axis == 2, sign, F(0.0))
+
     # hit point from the final normal (brick_raytracer.comp:431-433)
     t_off = voxel_scale * F(0.05)
-    px = ox + dx * s["out_t"] + s["nx"] * t_off
-    py = oy + dy * s["out_t"] + s["ny"] * t_off
-    pz = oz + dz * s["out_t"] + s["nz"] * t_off
+    px = ox + dx * s["out_t"] + nx * t_off
+    py = oy + dy * s["out_t"] + ny * t_off
+    pz = oz + dz * s["out_t"] + nz * t_off
     return dict(found=s["found"], t=s["out_t"], px=px, py=py, pz=pz,
-                nx=s["nx"], ny=s["ny"], nz=s["nz"], index=s["out_index"])
+                nx=nx, ny=ny, nz=nz, index=s["out_index"])
 
 
 def transmission_direction(n1, n2, ray_dir, normal):
@@ -539,7 +560,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     for _ in range(max_bounce):
         h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                           inf, ignore_type, internal_refl, bouncing, max_steps,
-                          tables, use_skip)
+                          tables, use_skip, bounded_t=False)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -625,7 +646,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             sh = _grid_hit_soa(static, arrays, mats, px, py, pz, shx, shy, shz,
                                inf, jnp.full(n, MAT_NONE, dtype=jnp.int32),
                                jnp.ones(n, dtype=F), active, max_steps, tables,
-                               use_skip)
+                               use_skip, bounded_t=False)
             lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
