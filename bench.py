@@ -18,13 +18,34 @@ two dispatches are identical.
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
+BENCH_TIMEOUT_S = int(__import__("os").environ.get("ZVT_BENCH_TIMEOUT", "1500"))
+
+
+def _timeout_handler(signum, frame):
+    # The TPU tunnel in this environment can wedge for long stretches; emit
+    # an honest zero instead of hanging the driver.
+    print("# bench timed out (TPU tunnel unresponsive)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "primary_ray_throughput_1080p_512^3",
+        "value": 0.0,
+        "unit": "Mray/s/chip",
+        "vs_baseline": 0.0,
+        "note": "timeout: TPU unresponsive",
+    }))
+    sys.stdout.flush()
+    import os
+    os._exit(0)
+
 
 def main() -> None:
+    signal.signal(signal.SIGALRM, _timeout_handler)
+    signal.alarm(BENCH_TIMEOUT_S)
     import jax
     import jax.numpy as jnp
 

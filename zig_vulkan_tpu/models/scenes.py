@@ -73,7 +73,11 @@ def insert_vox_model(grid: BrickGrid, model: vox_mod.Vox,
     y = xyzi[:, 2].astype(np.int64) + offset[1]
     z = xyzi[:, 1].astype(np.int64) + offset[2]
     mats = (xyzi[:, 3].astype(np.int64) + material_offset).astype(np.uint8)
-    grid.insert_batch(x, y, z, mats)
+    # voxels falling outside the grid are dropped (the reference would hit a
+    # debug assert, Grid.zig:130-132; clipping is friendlier for small grids)
+    vx, vy, vz = grid.static.voxel_dims
+    keep = ((x >= 0) & (x < vx) & (y >= 0) & (y < vy) & (z >= 0) & (z < vz))
+    grid.insert_batch(x[keep], y[keep], z[keep], mats[keep])
 
 
 def default_scene(vox_path: Optional[str] = None,
