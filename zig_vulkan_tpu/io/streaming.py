@@ -35,6 +35,7 @@ def terrain_regions(grid: BrickGrid, seed: int = 420, scale: float = 4.0,
     perlin = terrain_mod.PerlinNoise(seed)
     vx, vy, vz = grid.static.voxel_dims
     terrain_max_height = vy * 0.5
+    ocean_level = min(int(ocean_level), vy)
 
     for x0 in range(0, vx, region_x):
         x1 = min(vx, x0 + region_x)

@@ -124,6 +124,7 @@ def generate(grid: BrickGrid, seed: int = 420, scale: float = 4.0,
     perlin = PerlinNoise(seed)
     vx, vy, vz = grid.static.voxel_dims
     terrain_max_height = vy * 0.5
+    ocean_level = min(int(ocean_level), vy)  # clamp for small test grids
 
     xs, zs = np.meshgrid(np.arange(vx), np.arange(vz), indexing="ij")
     points = np.stack(
