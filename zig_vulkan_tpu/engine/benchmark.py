@@ -15,7 +15,7 @@ the camera's *yaw* quaternion with pitch reset to identity
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

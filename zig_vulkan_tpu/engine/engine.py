@@ -22,14 +22,13 @@ the reference's push constants) plus the metrics ring.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DenoiserConfig, EngineConfig, TraceConfig
+from ..config import EngineConfig
 from ..core.camera import Camera
 from ..core.grid import BrickGrid, GridArrays, apply_edits, remove_edits
 from ..core.materials import MaterialTable

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.grid import GridArrays, GridStatic
+from ..core.grid import GridStatic
 
 F = jnp.float32
 

@@ -45,7 +45,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import BRICK_DIMENSION, BRICK_WORDS, TraceConfig
 from ..core.grid import GridArrays, GridStatic

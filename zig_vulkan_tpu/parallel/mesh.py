@@ -20,7 +20,6 @@ devices.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -18,7 +18,7 @@ from __future__ import annotations
 import contextlib
 import os
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 _ENABLED = os.environ.get("ZVT_PROFILE", "0") == "1"
 _frame_counter = 0
