@@ -107,3 +107,20 @@ def test_set_denoiser_knobs():
     img = np.asarray(rt.render())
     assert img.shape == (24, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_flush_grid_resyncs_scene():
+    import numpy as np
+    from zig_vulkan_tpu.models.scenes import flat_test_scene
+
+    rt = small_engine()
+    before = np.asarray(rt.render())
+    # rebuild a host grid with an extra block and flush it wholesale
+    sc2 = flat_test_scene(dim=8)
+    xs, ys, zs = np.meshgrid(np.arange(8, 24), np.arange(8, 24),
+                             np.arange(28, 31), indexing="ij")
+    sc2.grid.insert_batch(xs.ravel(), ys.ravel(), zs.ravel(),
+                          np.full(xs.size, 7, dtype=np.uint8))
+    rt.flush_grid(sc2.grid)
+    after = np.asarray(rt.render())
+    assert not np.array_equal(before, after)

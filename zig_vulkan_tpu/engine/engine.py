@@ -194,6 +194,14 @@ class VoxelRT:
         """Advance the sun animation (VoxelRT.zig:80-83)."""
         self.sun.update(dt)
 
+    def flush_grid(self, grid: BrickGrid) -> None:
+        """Full scene re-upload from a host BrickGrid (the reference's
+        debugFlushGrid, VoxelRT.zig:95-104 — there Debug-only; here a
+        supported resync path, e.g. after large host-side rebuilds)."""
+        assert grid.static == self.grid_static, "grid geometry must match"
+        self.arrays = grid.device_arrays()
+        self._tables = None
+
     def push_materials(self, materials: MaterialTable) -> None:
         """Replace the material table (VoxelRT.zig:85-88)."""
         self.materials_host = materials
