@@ -172,11 +172,13 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays):
 
 
 @partial(jax.jit, static_argnames=("static", "max_steps", "use_skip",
-                                   "bounded_t"))
+                                   "bounded_t", "needs_ignore",
+                                   "brick_unroll"))
 def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
              origin, direction, t_max, ignore_type, internal_reflection,
              active, max_steps: int = 768, tables=None,
-             use_skip: bool = False, bounded_t: bool = True):
+             use_skip: bool = False, bounded_t: bool = True,
+             needs_ignore: bool = True, brick_unroll: int = 4):
     """Two-level DDA traversal for a wavefront of rays (GLSL GridHit +
     BrickHit, brick_raytracer.comp:271-471) — SoA, gather-minimized.
 
@@ -195,7 +197,7 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
     out = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                         jnp.asarray(t_max, dtype=F), ignore_type,
                         internal_reflection, active, max_steps, tables,
-                        use_skip, bounded_t)
+                        use_skip, bounded_t, needs_ignore, brick_unroll)
     return dict(
         found=out["found"],
         t=out["t"],
@@ -207,7 +209,8 @@ def grid_hit(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
 
 def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
                   ignore_type, internal_reflection, active, max_steps,
-                  tables=None, use_skip=False, bounded_t=True):
+                  tables=None, use_skip=False, bounded_t=True,
+                  needs_ignore=True, brick_unroll=4):
     # bounded_t=False drops the per-ray `global_t` carry: every RayColor
     # call passes t_max = +inf (brick_raytracer.comp:218, :247), making the
     # GLSL `global_t_value <= t_max` check (:316) vacuous.
@@ -303,9 +306,11 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         local_t_max=zf,
         found=jnp.zeros(n, dtype=jnp.bool_),
         out_t=zf,
-        out_index=zi,
+        out_addr=zi,
         step=jnp.int32(0),
     )
+    if needs_ignore:
+        state["out_index"] = zi
     if bounded_t:
         state["global_t"] = global_t0
 
@@ -376,68 +381,91 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         local_t_max = jnp.where(enter, grid_t_max - entry_t, s["local_t_max"])
         in_brick = in_brick | enter
 
-        # ---------------- brick level: voxel check ----------------
-        b = running & in_brick  # includes lanes that just entered
-        in_b_b = ((blx >= 0) & (blx < _BD) & (bly >= 0) & (bly < _BD)
-                  & (blz >= 0) & (blz < _BD) & (b_t <= local_t_max))
-        b_exit = b & ~in_b_b
-        b_act = b & in_b_b
-
-        vi = blx + _BD * (blz + _BD * bly)
-        viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
-        occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
-        occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
-        vhit = b_act & (occ_bit == 1)
-
-        # candidate-hit-only gathers: material byte + packed info row
-        mat_addr = jnp.clip(mat_start + vi, 0,
-                            arrays.material_indices.shape[0] - 1)
-        mat_addr = jnp.where(vhit, mat_addr, 0)
-        mat_idx = arrays.material_indices[mat_addr].astype(jnp.int32)
-        info = mat_info[mat_idx]
-        v_mtype = info[:, 0]
-        v_tdata = jax.lax.bitcast_convert_type(info[:, 1], F)
-        # same-material skip (brick_raytracer.comp:427)
-        ignore = (v_mtype == ignore_type) & (internal_reflection == v_tdata)
-        real_hit = vhit & ~ignore
-
+        # ------- brick level: voxel checks (unrolled; gather-free) -------
+        # Without the dielectric-skip rule (needs_ignore=False) a voxel test
+        # touches only registers, so several brick DDA steps run per
+        # while-iteration — each iteration's fixed cost is the grid-phase
+        # row gather, which runs for every lane regardless.
+        found = s["found"]
+        out_t = s["out_t"]
+        out_addr = s["out_addr"]
+        out_index = s["out_index"] if needs_ignore else None
+        ncode = s["ncode"]
+        b_exit_any = jnp.zeros_like(running)
         t_off = voxel_scale * F(0.05)
-        hit_t = entry_t + b_t - t_off
-
-        found = s["found"] | real_hit
-        out_t = jnp.where(real_hit, hit_t, s["out_t"])
-        out_index = jnp.where(real_hit, mat_idx, s["out_index"])
-
-        # ---------------- advance ----------------
-        brick_steps = b_act & ~real_hit
-        grid_steps = ((g_act & ~enter) | b_exit) & ~do_skip
-        running = running & ~g_miss & ~real_hit
-        in_brick = in_brick & ~b_exit
-
-        # one fused DDA advance for whichever level the lane is on
-        # (brick_raytracer.comp:344-372 / :439-467)
-        csx = jnp.where(brick_steps, bsx, s["sx"])
-        csy = jnp.where(brick_steps, bsy, s["sy"])
-        csz = jnp.where(brick_steps, bsz, s["sz"])
-        ax = (csx < csy) & (csx < csz)
-        ay = ~(csx < csy) & (csy < csz)
-        az = ~(ax | ay)
-        stepping = brick_steps | grid_steps
-        step_scale = jnp.where(brick_steps, voxel_scale, scale)
-        t_new = jnp.where(ax, csx, jnp.where(ay, csy, csz)) * step_scale
+        mat_cap = arrays.material_indices.shape[0] - 1
 
         def adv(sv, lv, delta, st, sel):
             return (jnp.where(sel, sv + delta, sv), jnp.where(sel, lv + st, lv))
 
-        bsx, blx = adv(bsx, blx, adx, stx, brick_steps & ax)
-        bsy, bly = adv(bsy, bly, ady, sty, brick_steps & ay)
-        bsz, blz = adv(bsz, blz, adz, stz, brick_steps & az)
-        b_t = jnp.where(brick_steps, t_new, b_t)
+        unroll = 1 if needs_ignore else brick_unroll
+        for _u in range(unroll):
+            b = running & in_brick
+            in_b_b = ((blx >= 0) & (blx < _BD) & (bly >= 0) & (bly < _BD)
+                      & (blz >= 0) & (blz < _BD) & (b_t <= local_t_max))
+            b_exit = b & ~in_b_b
+            in_brick = in_brick & ~b_exit
+            b_exit_any = b_exit_any | b_exit
+            b_act = b & in_b_b
 
-        gsx, glx = adv(s["sx"], s["lx"], adx, stx, grid_steps & ax)
-        gsy, gly = adv(s["sy"], s["ly"], ady, sty, grid_steps & ay)
-        gsz, glz = adv(s["sz"], s["lz"], adz, stz, grid_steps & az)
-        t_value = jnp.where(grid_steps, t_new, s["t_value"])
+            vi = blx + _BD * (blz + _BD * bly)
+            viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
+            occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
+            occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
+            vhit = b_act & (occ_bit == 1)
+            mat_addr = jnp.clip(mat_start + vi, 0, mat_cap)
+
+            if needs_ignore:
+                # same-material skip (brick_raytracer.comp:427) needs the
+                # voxel's material mid-traversal: gather byte + info row
+                addr_g = jnp.where(vhit, mat_addr, 0)
+                mat_idx = arrays.material_indices[addr_g].astype(jnp.int32)
+                info = mat_info[mat_idx]
+                v_mtype = info[:, 0]
+                v_tdata = jax.lax.bitcast_convert_type(info[:, 1], F)
+                ignore = (v_mtype == ignore_type) & (internal_reflection == v_tdata)
+                real_hit = vhit & ~ignore
+                out_index = jnp.where(real_hit, mat_idx, out_index)
+            else:
+                real_hit = vhit
+
+            hit_t = entry_t + b_t - t_off
+            found = found | real_hit
+            out_t = jnp.where(real_hit, hit_t, out_t)
+            out_addr = jnp.where(real_hit, mat_addr, out_addr)
+            running = running & ~real_hit
+
+            brick_steps = b_act & ~real_hit
+            bax = (bsx < bsy) & (bsx < bsz)
+            bay = ~(bsx < bsy) & (bsy < bsz)
+            baz = ~(bax | bay)
+            bt_new = jnp.where(bax, bsx, jnp.where(bay, bsy, bsz)) * voxel_scale
+            bsx, blx = adv(bsx, blx, adx, stx, brick_steps & bax)
+            bsy, bly = adv(bsy, bly, ady, sty, brick_steps & bay)
+            bsz, blz = adv(bsz, blz, adz, stz, brick_steps & baz)
+            b_t = jnp.where(brick_steps, bt_new, b_t)
+            ncode = jnp.where(
+                brick_steps,
+                jnp.where(bax, step_code_x,
+                          jnp.where(bay, step_code_y, step_code_z)),
+                ncode)
+
+        # ---------------- grid advance ----------------
+        grid_steps = (g_act & ~enter & ~do_skip) | b_exit_any
+        running = running & ~g_miss
+
+        gax = (s["sx"] < s["sy"]) & (s["sx"] < s["sz"])
+        gay = ~(s["sx"] < s["sy"]) & (s["sy"] < s["sz"])
+        gaz = ~(gax | gay)
+        gt_new = jnp.where(gax, s["sx"], jnp.where(gay, s["sy"], s["sz"])) * scale
+        gsx, glx = adv(s["sx"], s["lx"], adx, stx, grid_steps & gax)
+        gsy, gly = adv(s["sy"], s["ly"], ady, sty, grid_steps & gay)
+        gsz, glz = adv(s["sz"], s["lz"], adz, stz, grid_steps & gaz)
+        t_value = jnp.where(grid_steps, gt_new, s["t_value"])
+        ncode = jnp.where(
+            grid_steps,
+            jnp.where(gax, step_code_x, jnp.where(gay, step_code_y, step_code_z)),
+            ncode)
         if use_skip:
             gsx = jnp.where(do_skip, rsx, gsx)
             gsy = jnp.where(do_skip, rsy, gsy)
@@ -446,11 +474,6 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
             gly = jnp.where(do_skip, rly, gly)
             glz = jnp.where(do_skip, rlz, glz)
             t_value = jnp.where(do_skip, F(0.0), t_value)
-
-        ncode = jnp.where(
-            stepping,
-            jnp.where(ax, step_code_x, jnp.where(ay, step_code_y, step_code_z)),
-            s["ncode"])
 
         out = dict(
             running=running, in_brick=in_brick,
@@ -461,8 +484,10 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
             b_t=b_t, entry_t=entry_t, occ_lo=occ_lo, occ_hi=occ_hi,
             mat_start=mat_start, bminx=bminx, bminy=bminy, bminz=bminz,
             local_t_max=local_t_max, found=found, out_t=out_t,
-            out_index=out_index, step=s["step"] + 1,
+            out_addr=out_addr, step=s["step"] + 1,
         )
+        if needs_ignore:
+            out["out_index"] = out_index
         if bounded_t:
             out["global_t"] = jnp.where(enter, new_global_t, s["global_t"])
         return out
@@ -482,8 +507,14 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     px = ox + dx * s["out_t"] + nx * t_off
     py = oy + dy * s["out_t"] + ny * t_off
     pz = oz + dz * s["out_t"] + nz * t_off
+    if needs_ignore:
+        index = s["out_index"]
+    else:
+        # deferred material resolution: one gather for the whole traversal
+        index = arrays.material_indices[
+            jnp.where(s["found"], s["out_addr"], 0)].astype(jnp.int32)
     return dict(found=s["found"], t=s["out_t"], px=px, py=py, pz=pz,
-                nx=nx, ny=ny, nz=nz, index=s["out_index"])
+                nx=nx, ny=ny, nz=nz, index=index)
 
 
 def transmission_direction(n1, n2, ray_dir, normal):
@@ -556,10 +587,14 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     # original direction for the background of never-hit rays
     odx, ody, odz = dx, dy, dz
 
-    for _ in range(max_bounce):
+    for bounce_i in range(max_bounce):
+        # dielectric-skip state can only exist after a refraction, so the
+        # first bounce (and all shadow rays) take the deferred-material
+        # fast path (needs_ignore=False)
         h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
                           inf, ignore_type, internal_refl, bouncing, max_steps,
-                          tables, use_skip, bounded_t=False)
+                          tables, use_skip, bounded_t=False,
+                          needs_ignore=(bounce_i > 0))
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -645,7 +680,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             sh = _grid_hit_soa(static, arrays, mats, px, py, pz, shx, shy, shz,
                                inf, jnp.full(n, MAT_NONE, dtype=jnp.int32),
                                jnp.ones(n, dtype=F), active, max_steps, tables,
-                               use_skip, bounded_t=False)
+                               use_skip, bounded_t=False, needs_ignore=False)
             lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
