@@ -113,7 +113,7 @@ def safe_inverse(v):
     return jnp.where(v == 0.0, F(1e12), F(1.0) / v)
 
 
-DIST_CAP = 15  # max encoded empty-space Chebyshev radius
+DIST_CAP = 31  # max encoded empty-space Chebyshev radius
 
 
 def _distance_field(static: GridStatic, loaded):
