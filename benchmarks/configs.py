@@ -84,7 +84,8 @@ def config2_sparse_diffuse_shadows(scale: float = 1.0, frames: int = 6) -> Dict:
         camera=CameraConfig(origin=(0.0, 0.0, 0.0), samples_per_pixel=1,
                             max_bounce=0),
         sun=SunConfig(enabled=True, animate=False),
-        denoiser=DenoiserConfig(enabled=False)))
+        denoiser=DenoiserConfig(enabled=False),
+        trace=TraceConfig(max_steps=160)))
     return {"config": "2: sparse 512^3 diffuse+shadows 720p",
             **_timed_frames(rt, frames)}
 
@@ -100,7 +101,8 @@ def config3_interactive_edits(scale: float = 1.0, frames: int = 6) -> Dict:
         camera=CameraConfig(origin=(0.0, 0.0, 0.0), samples_per_pixel=1,
                             max_bounce=1),
         sun=SunConfig(enabled=True, animate=True),
-        denoiser=DenoiserConfig(enabled=False)))
+        denoiser=DenoiserConfig(enabled=False),
+        trace=TraceConfig(max_steps=160)))
     bench = rt.create_benchmark(duration=60.0)
     rng = np.random.default_rng(0)
     vx, vy, vz = scene.grid.static.voxel_dims
@@ -141,7 +143,10 @@ def config4_path_traced_emissive(scale: float = 1.0, frames: int = 6) -> Dict:
         camera=CameraConfig(origin=(0.0, 0.0, 0.0), samples_per_pixel=2,
                             max_bounce=3),
         sun=SunConfig(enabled=True, animate=False),
-        denoiser=DenoiserConfig(enabled=True)))
+        denoiser=DenoiserConfig(enabled=True),
+        # keep the single-dispatch wall time bounded (the TPU tunnel kills
+        # multi-minute programs); 160 steps converge >99.9% of rays
+        trace=TraceConfig(max_steps=160)))
     rt.set_temporal(True)
     return {"config": "4: path traced + emissive + temporal 1080p",
             **_timed_frames(rt, frames)}
