@@ -159,6 +159,8 @@ def test_apply_edits_matches_host_builder():
         material_indices=np.asarray(out.material_indices),
         active_bricks=np.uint32(out.active_bricks),
         material_cursor=np.uint32(out.material_cursor),
+        diel_mask=np.asarray(out.diel_mask),
+        brick_ir=np.asarray(out.brick_ir),
     )
     for x, y, z, m in zip(xs, ys, zs, ms):
         assert dev_back.voxel_material(int(x), int(y), int(z)) == int(m)
@@ -187,6 +189,8 @@ def test_remove_edits_device():
         material_indices=np.asarray(out.material_indices),
         active_bricks=np.uint32(out.active_bricks),
         material_cursor=np.uint32(out.material_cursor),
+        diel_mask=np.asarray(out.diel_mask),
+        brick_ir=np.asarray(out.brick_ir),
     )
     assert back.voxel_material(1, 2, 3) is None
     assert back.voxel_material(1, 2, 2) == 6

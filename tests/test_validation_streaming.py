@@ -61,6 +61,8 @@ def test_streamed_terrain_matches_batch_build():
         material_indices=np.asarray(rt.arrays.material_indices),
         active_bricks=np.uint32(rt.arrays.active_bricks),
         material_cursor=np.uint32(rt.arrays.material_cursor),
+        diel_mask=np.asarray(rt.arrays.diel_mask),
+        brick_ir=np.asarray(rt.arrays.brick_ir),
     )
     np.testing.assert_array_equal(
         dense_materials(ref.static, got), dense_materials(ref.static, ref.arrays))

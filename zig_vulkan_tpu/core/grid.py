@@ -95,7 +95,16 @@ class GridStatic:
 
 @dataclasses.dataclass
 class GridArrays:
-    """The five device-resident scene arrays (a pytree; numpy or jax arrays)."""
+    """The device-resident scene arrays (a pytree; numpy or jax arrays).
+
+    The first five mirror the reference's GPU buffers (State.zig:133-156).
+    `diel_mask`/`brick_ir` are derived acceleration data maintained
+    incrementally alongside them: per-brick bits marking dielectric voxels
+    and the brick's dielectric index of refraction (NaN if the brick has no
+    dielectric, or has voxels with conflicting ir — see ops.trace). They
+    let the traversal evaluate the same-material skip rule
+    (brick_raytracer.comp:427) from registers instead of per-voxel gathers.
+    """
 
     statuses: np.ndarray           # uint32[ceil(cells/32)]
     indices: np.ndarray            # uint32[cells]
@@ -104,6 +113,8 @@ class GridArrays:
     material_indices: np.ndarray   # uint8[brick_alloc * BRICK_BITS]
     active_bricks: np.ndarray      # uint32[] scalar
     material_cursor: np.ndarray    # uint32[] scalar (MaterialAllocator cursor)
+    diel_mask: np.ndarray          # uint32[brick_alloc * BRICK_WORDS]
+    brick_ir: np.ndarray           # f32[brick_alloc] (NaN = none/conflict)
 
 
 def _register_pytrees() -> None:
@@ -119,6 +130,8 @@ def _register_pytrees() -> None:
             "material_indices",
             "active_bricks",
             "material_cursor",
+            "diel_mask",
+            "brick_ir",
         ],
         meta_fields=[],
     )
@@ -172,7 +185,22 @@ class BrickGrid:
             material_indices=np.zeros(brick_alloc * BRICK_BITS, dtype=np.uint8),
             active_bricks=np.uint32(0),
             material_cursor=np.uint32(0),
+            diel_mask=np.zeros(brick_alloc * BRICK_WORDS, dtype=np.uint32),
+            brick_ir=np.full(brick_alloc, np.nan, dtype=np.float32),
         )
+        # material classification used to maintain diel_mask/brick_ir; set
+        # via attach_materials (defaults: no dielectrics)
+        self._mat_is_diel = np.zeros(256, dtype=bool)
+        self._mat_ir = np.zeros(256, dtype=np.float32)
+
+    def attach_materials(self, materials) -> None:
+        """Register the material table used to classify dielectric voxels
+        for the diel_mask/brick_ir acceleration data. Call before inserts
+        (models.scenes does this automatically)."""
+        from .materials import MAT_DIELECTRIC
+
+        self._mat_is_diel = materials.mtype == MAT_DIELECTRIC
+        self._mat_ir = materials.type_data.astype(np.float32)
 
     # -- single-voxel API (reference Grid.zig:129-194) -------------------------
     def insert(self, x: int, y: int, z: int, material_index: int) -> None:
@@ -249,9 +277,26 @@ class BrickGrid:
 
         # --- occupancy bits ---
         word = brick * BRICK_WORDS + nth_bit // 32
-        np.bitwise_or.at(
-            a.occupancy, word, np.uint32(1) << (nth_bit % 32).astype(np.uint32)
-        )
+        bit = np.uint32(1) << (nth_bit % 32).astype(np.uint32)
+        np.bitwise_or.at(a.occupancy, word, bit)
+
+        # --- dielectric mask + per-brick ir maintenance ---
+        is_d = self._mat_is_diel[material_index]
+        if is_d.any():
+            np.bitwise_or.at(a.diel_mask, word[is_d], bit[is_d])
+            ir = self._mat_ir[material_index[is_d]]
+            b_d = brick[is_d]
+            prev = a.brick_ir[b_d]
+            # NaN (unset) adopts the ir; conflicting ir poisons to NaN via a
+            # second pass below
+            a.brick_ir[b_d] = np.where(np.isnan(prev), ir, prev)
+            conflict = ~np.isnan(a.brick_ir[b_d]) & (a.brick_ir[b_d] != ir)
+            if conflict.any():
+                a.brick_ir[b_d[conflict]] = np.nan
+        # non-dielectric overwrites clear stale mask bits for those voxels
+        not_d = ~is_d
+        if not_d.any():
+            np.bitwise_and.at(a.diel_mask, word[not_d], ~bit[not_d])
 
     def remove_batch(self, x, y, z) -> None:
         """Clear voxels (superset feature: the reference only inserts;
@@ -293,6 +338,40 @@ class BrickGrid:
         start = int(a.start_indices[brick] & np.uint32(0x7FFFFFFF))
         return int(a.material_indices[start + nth])
 
+    def rebuild_dielectric_masks(self) -> None:
+        """Recompute diel_mask/brick_ir from material_indices + occupancy
+        (used after external builds, e.g. the native builder)."""
+        a = self.arrays
+        a.diel_mask[:] = 0
+        a.brick_ir[:] = np.nan
+        active = int(a.active_bricks)
+        if active == 0:
+            return
+        slots = np.arange(active * BRICK_BITS)
+        bricks = slots // BRICK_BITS
+        starts = (a.start_indices[bricks] & np.uint32(0x7FFFFFFF)).astype(np.int64)
+        addr = starts + (slots % BRICK_BITS)
+        occ_w = bricks * BRICK_WORDS + (slots % BRICK_BITS) // 32
+        occ_b = ((a.occupancy[occ_w] >> ((slots % BRICK_BITS) % 32).astype(np.uint32))
+                 & 1) == 1
+        mats = a.material_indices[np.clip(addr, 0, a.material_indices.size - 1)]
+        is_d = self._mat_is_diel[mats] & occ_b
+        word = bricks * BRICK_WORDS + (slots % BRICK_BITS) // 32
+        bit = np.uint32(1) << ((slots % BRICK_BITS) % 32).astype(np.uint32)
+        np.bitwise_or.at(a.diel_mask, word[is_d], bit[is_d])
+        d_bricks = bricks[is_d]
+        d_ir = self._mat_ir[mats[is_d]]
+        if d_bricks.size == 0:
+            return
+        # first-write wins; conflicts poison to NaN
+        order = np.argsort(d_bricks, kind="stable")
+        db, di = d_bricks[order], d_ir[order]
+        first = np.concatenate([[True], db[1:] != db[:-1]])
+        a.brick_ir[db[first]] = di[first]
+        conflict = ~first & (di != a.brick_ir[db])
+        if conflict.any():
+            a.brick_ir[db[conflict]] = np.nan
+
     # -- device transfer --------------------------------------------------------
     def device_arrays(self) -> GridArrays:
         """Copy the scene arrays to the default JAX device."""
@@ -306,10 +385,13 @@ class BrickGrid:
             material_indices=jax.device_put(self.arrays.material_indices),
             active_bricks=jax.device_put(np.uint32(self.arrays.active_bricks)),
             material_cursor=jax.device_put(np.uint32(self.arrays.material_cursor)),
+            diel_mask=jax.device_put(self.arrays.diel_mask),
+            brick_ir=jax.device_put(self.arrays.brick_ir),
         )
 
 
-def apply_edits(static: GridStatic, arrays: GridArrays, xyz, material_index, valid):
+def apply_edits(static: GridStatic, arrays: GridArrays, xyz, material_index,
+                valid, mat_is_diel=None, mat_ir=None):
     """Jittable functional voxel insert batch (device-resident edits).
 
     The TPU replacement for the reference's edit path (Grid.insert ->
@@ -324,6 +406,9 @@ def apply_edits(static: GridStatic, arrays: GridArrays, xyz, material_index, val
       xyz: int32[N, 3] voxel coordinates (fixed N per trace; pad + mask).
       material_index: uint8[N].
       valid: bool[N] mask — False lanes are ignored.
+      mat_is_diel, mat_ir: optional bool[256]/f32[256] material classification
+        used to maintain the diel_mask/brick_ir acceleration arrays; without
+        them, edited voxels are treated as non-dielectric there.
 
     Returns: updated GridArrays.
 
@@ -422,6 +507,29 @@ def apply_edits(static: GridStatic, arrays: GridArrays, xyz, material_index, val
         jnp.where(v_s, w_s, a.occupancy.shape[0])
     ].add(add_bits, mode="drop")
 
+    # dielectric mask + per-brick ir maintenance (same dedupe machinery)
+    s_mat_sorted = s_mat[wb_order]
+    if mat_is_diel is not None:
+        lane_diel = mat_is_diel[s_mat_sorted.astype(jnp.int32)]
+        lane_ir = mat_ir[s_mat_sorted.astype(jnp.int32)]
+    else:
+        lane_diel = jnp.zeros_like(v_s)
+        lane_ir = jnp.zeros(v_s.shape, jnp.float32)
+    cur_d = a.diel_mask[safe_w]
+    d_add = jnp.where(v_s & (~dup) & lane_diel, b_s & (~cur_d), jnp.uint32(0))
+    d_sub = jnp.where(v_s & (~dup) & (~lane_diel), b_s & cur_d, jnp.uint32(0))
+    diel_mask = a.diel_mask.at[
+        jnp.where(v_s, w_s, a.diel_mask.shape[0])
+    ].add(d_add - d_sub, mode="drop")
+
+    brick_sorted = brick[wb_order].astype(jnp.int32)
+    safe_b = jnp.where(v_s & lane_diel, brick_sorted, a.brick_ir.shape[0])
+    prev_ir = a.brick_ir[jnp.clip(safe_b, 0, a.brick_ir.shape[0] - 1)]
+    new_ir = jnp.where(jnp.isnan(prev_ir), lane_ir,
+                       jnp.where(prev_ir != lane_ir, jnp.float32(jnp.nan),
+                                 prev_ir))
+    brick_ir = a.brick_ir.at[safe_b].set(new_ir, mode="drop")
+
     return GridArrays(
         statuses=statuses,
         indices=indices,
@@ -430,6 +538,8 @@ def apply_edits(static: GridStatic, arrays: GridArrays, xyz, material_index, val
         material_indices=material_indices,
         active_bricks=active_bricks,
         material_cursor=material_cursor,
+        diel_mask=diel_mask,
+        brick_ir=brick_ir,
     )
 
 
@@ -473,7 +583,12 @@ def remove_edits(static: GridStatic, arrays: GridArrays, xyz, valid):
     occupancy = a.occupancy.at[
         jnp.where(v_s, w_s, a.occupancy.shape[0])
     ].add(jnp.uint32(0) - sub_bits, mode="drop")
-    return dataclasses.replace(arrays, occupancy=occupancy)
+    d_sub = jnp.where(v_s & (~dup), b_s & a.diel_mask[safe_w], jnp.uint32(0))
+    diel_mask = a.diel_mask.at[
+        jnp.where(v_s, w_s, a.diel_mask.shape[0])
+    ].add(jnp.uint32(0) - d_sub, mode="drop")
+    return dataclasses.replace(arrays, occupancy=occupancy,
+                               diel_mask=diel_mask)
 
 
 def dense_materials(static: GridStatic, arrays: GridArrays) -> np.ndarray:

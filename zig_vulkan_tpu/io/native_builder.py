@@ -150,4 +150,5 @@ class NativeGridBuilder:
         a.material_cursor = np.uint32(counters[1])
         self._lib.zvt_grid_destroy(self._handle)
         self._handle = None
+        g.rebuild_dielectric_masks()
         return g

@@ -34,6 +34,8 @@ def save_scene(path: str, static: GridStatic, arrays: GridArrays,
         material_indices=np.asarray(arrays.material_indices),
         active_bricks=np.uint32(arrays.active_bricks),
         material_cursor=np.uint32(arrays.material_cursor),
+        diel_mask=np.asarray(arrays.diel_mask),
+        brick_ir=np.asarray(arrays.brick_ir),
         mat_type=materials.mtype,
         mat_albedo=materials.albedo,
         mat_type_data=materials.type_data,
@@ -62,6 +64,10 @@ def load_scene(path: str) -> Tuple[BrickGrid, MaterialTable]:
         material_indices=z["material_indices"],
         active_bricks=np.uint32(z["active_bricks"]),
         material_cursor=np.uint32(z["material_cursor"]),
+        diel_mask=(z["diel_mask"] if "diel_mask" in z
+                   else np.zeros_like(z["occupancy"])),
+        brick_ir=(z["brick_ir"] if "brick_ir" in z
+                  else np.full(z["start_indices"].shape, np.nan, np.float32)),
     )
     materials = MaterialTable(
         mtype=z["mat_type"].copy(),

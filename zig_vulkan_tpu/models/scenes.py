@@ -95,7 +95,10 @@ def default_scene(vox_path: Optional[str] = None,
     if with_model:
         model = vox_mod.load(vox_path) if vox_path else demo_model()
         fill_from_vox_palette(materials, model.palette)
+        grid.attach_materials(materials)
         insert_vox_model(grid, model)
+    else:
+        grid.attach_materials(materials)
     if with_terrain:
         terrain_mod.generate(grid, seed=terrain_seed, scale=4.0, ocean_level=20)
     return Scene(grid=grid, materials=materials)
@@ -106,6 +109,7 @@ def flat_test_scene(dim: int = 16, fill_material: int = 1,
     """A small dense slab scene for oracle/parity tests (BASELINE config 1)."""
     grid = BrickGrid(dim, dim, dim, GridConfig(min_point=(0.0, 0.0, 0.0), scale=scale))
     materials = terrain_materials()
+    grid.attach_materials(materials)
     vx, vy, vz = grid.static.voxel_dims
     xs, zs = np.meshgrid(np.arange(vx), np.arange(vz), indexing="ij")
     # a 4-voxel-thick floor slab plus a centered cube

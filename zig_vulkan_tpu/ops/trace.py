@@ -139,16 +139,23 @@ def _distance_field(static: GridStatic, loaded):
 
 
 def build_trace_tables(static: GridStatic, arrays: GridArrays):
-    """Per-cell traversal records: int32[cells, 4] rows of
+    """Per-cell traversal records: int32[cells, 8] rows of
     {material window start (or -1 = empty cell), occupancy word 0,
-    occupancy word 1, empty-space Chebyshev skip distance}.
+    occupancy word 1, empty-space Chebyshev skip distance,
+    dielectric-mask word 0, dielectric-mask word 1, bitcast brick ir, 0}.
 
     This fuses everything the traversal needs per grid cell — the
     reference's separate status-bit, brick-index, occupancy, and
     start-index fetches (State.zig:86-127) — into ONE row gather at brick
-    entry, and makes every in-brick voxel test gather-free (the 64
-    occupancy bits ride in lane-local registers). Lane 3 carries the
-    distance field driving empty-space skipping (see _distance_field).
+    entry, and makes every in-brick voxel test gather-free (occupancy and
+    dielectric bits ride in lane-local registers; TPU row gathers cost the
+    same as scalar gathers, so the extra lanes are free). Lane 3 carries
+    the distance field driving empty-space skipping (_distance_field);
+    lanes 4-6 carry the per-brick dielectric data evaluating the
+    same-material skip rule (brick_raytracer.comp:427) without per-voxel
+    material gathers — exact unless a brick mixes dielectrics with
+    different ir (then brick_ir is NaN and nothing in that brick is
+    skipped; see core.grid.GridArrays).
 
     Depends only on the scene, not the camera: the engine caches it across
     frames and rebuilds after edits.
@@ -159,6 +166,9 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays):
     brick = jnp.where(loaded, arrays.indices, jnp.uint32(0)).astype(jnp.int32)
     occ2 = arrays.occupancy.reshape(static.brick_alloc, BRICK_WORDS)
     occ_rows = occ2[brick]
+    diel2 = arrays.diel_mask.reshape(static.brick_alloc, BRICK_WORDS)
+    diel_rows = diel2[brick]
+    ir_bits = jax.lax.bitcast_convert_type(arrays.brick_ir[brick], jnp.int32)
     start = arrays.start_indices[brick]
     start = jnp.where(loaded, start, _EMPTY)
     # cell index space is x + dim_x*(z + dim_z*y) -> volume (y, z, x)
@@ -167,7 +177,11 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays):
         [start.astype(jnp.int32),
          occ_rows[:, 0].astype(jnp.int32),
          occ_rows[:, 1].astype(jnp.int32),
-         dist],
+         dist,
+         diel_rows[:, 0].astype(jnp.int32),
+         diel_rows[:, 1].astype(jnp.int32),
+         ir_bits,
+         jnp.zeros_like(dist)],
         axis=-1)
 
 
@@ -224,7 +238,6 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
 
     if tables is None:
         tables = build_trace_tables(static, arrays)
-    mat_info = mats.info
 
     ix = safe_inverse(dx)
     iy = safe_inverse(dy)
@@ -310,9 +323,16 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         step=jnp.int32(0),
     )
     if needs_ignore:
-        state["out_index"] = zi
+        state["dmask_lo"] = jnp.zeros(n, dtype=jnp.uint32)
+        state["dmask_hi"] = jnp.zeros(n, dtype=jnp.uint32)
+        state["brick_key"] = jnp.full(n, jnp.nan, dtype=F)
     if bounded_t:
         state["global_t"] = global_t0
+    # per-ray dielectric skip key: the rule only ever triggers for
+    # refracted rays (ignore_type == MAT_DIELECTRIC); NaN never compares
+    # equal, so non-refracted rays skip nothing
+    ray_key = jnp.where(ignore_type == MAT_DIELECTRIC, internal_reflection,
+                        jnp.full(n, jnp.nan, dtype=F))
 
     def cond(s):
         return jnp.any(s["running"]) & (s["step"] < max_steps)
@@ -345,6 +365,16 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
             s["occ_hi"])
         mat_start = jnp.where(enter, start_raw & jnp.int32(0x7FFFFFFF),
                               s["mat_start"])
+        if needs_ignore:
+            dmask_lo = jnp.where(
+                enter, jax.lax.bitcast_convert_type(rec[:, 4], jnp.uint32),
+                s["dmask_lo"])
+            dmask_hi = jnp.where(
+                enter, jax.lax.bitcast_convert_type(rec[:, 5], jnp.uint32),
+                s["dmask_hi"])
+            brick_key = jnp.where(
+                enter, jax.lax.bitcast_convert_type(rec[:, 6], F),
+                s["brick_key"])
 
         # empty-space skip: leap D-1 cells and re-derive the DDA cursor
         if use_skip:
@@ -389,7 +419,6 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         found = s["found"]
         out_t = s["out_t"]
         out_addr = s["out_addr"]
-        out_index = s["out_index"] if needs_ignore else None
         ncode = s["ncode"]
         b_exit_any = jnp.zeros_like(running)
         t_off = voxel_scale * F(0.05)
@@ -398,8 +427,7 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         def adv(sv, lv, delta, st, sel):
             return (jnp.where(sel, sv + delta, sv), jnp.where(sel, lv + st, lv))
 
-        unroll = 1 if needs_ignore else brick_unroll
-        for _u in range(unroll):
+        for _u in range(brick_unroll):
             b = running & in_brick
             in_b_b = ((blx >= 0) & (blx < _BD) & (bly >= 0) & (bly < _BD)
                       & (blz >= 0) & (blz < _BD) & (b_t <= local_t_max))
@@ -416,16 +444,12 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
             mat_addr = jnp.clip(mat_start + vi, 0, mat_cap)
 
             if needs_ignore:
-                # same-material skip (brick_raytracer.comp:427) needs the
-                # voxel's material mid-traversal: gather byte + info row
-                addr_g = jnp.where(vhit, mat_addr, 0)
-                mat_idx = arrays.material_indices[addr_g].astype(jnp.int32)
-                info = mat_info[mat_idx]
-                v_mtype = info[:, 0]
-                v_tdata = jax.lax.bitcast_convert_type(info[:, 1], F)
-                ignore = (v_mtype == ignore_type) & (internal_reflection == v_tdata)
+                # same-material skip (brick_raytracer.comp:427) evaluated
+                # from the brick's dielectric registers — no gathers
+                d_word = jnp.where(viu < 32, dmask_lo, dmask_hi)
+                d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
+                ignore = (d_bit == 1) & (brick_key == ray_key)
                 real_hit = vhit & ~ignore
-                out_index = jnp.where(real_hit, mat_idx, out_index)
             else:
                 real_hit = vhit
 
@@ -487,7 +511,9 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
             out_addr=out_addr, step=s["step"] + 1,
         )
         if needs_ignore:
-            out["out_index"] = out_index
+            out["dmask_lo"] = dmask_lo
+            out["dmask_hi"] = dmask_hi
+            out["brick_key"] = brick_key
         if bounded_t:
             out["global_t"] = jnp.where(enter, new_global_t, s["global_t"])
         return out
@@ -507,12 +533,9 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     px = ox + dx * s["out_t"] + nx * t_off
     py = oy + dy * s["out_t"] + ny * t_off
     pz = oz + dz * s["out_t"] + nz * t_off
-    if needs_ignore:
-        index = s["out_index"]
-    else:
-        # deferred material resolution: one gather for the whole traversal
-        index = arrays.material_indices[
-            jnp.where(s["found"], s["out_addr"], 0)].astype(jnp.int32)
+    # deferred material resolution: one gather for the whole traversal
+    index = arrays.material_indices[
+        jnp.where(s["found"], s["out_addr"], 0)].astype(jnp.int32)
     return dict(found=s["found"], t=s["out_t"], px=px, py=py, pz=pz,
                 nx=nx, ny=ny, nz=nz, index=index)
 
