@@ -124,3 +124,26 @@ def test_flush_grid_resyncs_scene():
     rt.flush_grid(sc2.grid)
     after = np.asarray(rt.render())
     assert not np.array_equal(before, after)
+
+
+def test_debug_validation_mode():
+    import jax
+    from zig_vulkan_tpu.models.scenes import flat_test_scene
+    from zig_vulkan_tpu.config import EngineConfig, CameraConfig, SunConfig, DenoiserConfig
+
+    sc = flat_test_scene(dim=8)
+    cfg = EngineConfig(
+        internal_resolution_width=16, internal_resolution_height=16,
+        camera=CameraConfig(origin=(4.0, 6.5, 15.0), samples_per_pixel=1,
+                            max_bounce=0),
+        sun=SunConfig(enabled=False), denoiser=DenoiserConfig(enabled=False),
+        debug_validation=True)
+    rt = VoxelRT(sc.grid, sc.materials, cfg)
+    try:
+        assert jax.config.values["jax_debug_nans"]
+        import numpy as np
+        img = np.asarray(rt.render())
+        assert np.isfinite(img).all()
+    finally:
+        from zig_vulkan_tpu.utils import validation
+        validation.disable_debug_mode()

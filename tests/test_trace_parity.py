@@ -165,3 +165,36 @@ def test_empty_skip_matches_exact(scene):
             == np.asarray(fast["index"])[both]).mean() > 0.995
     np.testing.assert_allclose(np.asarray(fast["t"])[both],
                                np.asarray(exact["t"])[both], atol=1e-2)
+
+
+def test_refraction_through_water_matches_oracle():
+    """Underwater camera looking up: every ray refracts through the water
+    surface, exercising the same-material skip rule (the register-resident
+    brick-mask path must match the oracle's exact per-voxel rule)."""
+    sc = flat_test_scene(dim=8)
+    g = sc.grid
+    # a deep water pool covering the camera
+    xs, ys, zs = np.meshgrid(np.arange(4, 28), np.arange(4, 12),
+                             np.arange(4, 28), indexing="ij")
+    g.insert_batch(xs.ravel(), ys.ravel(), zs.ravel(),
+                   np.zeros(xs.size, dtype=np.uint8))  # water
+
+    cam = Camera(75.0, 40, 40, CameraConfig(origin=(4.0, 5.5, 4.0),
+                                            samples_per_pixel=1, max_bounce=3))
+    # look upward out of the pool
+    cam.turn_pitch(-8.0)
+    sun = Sun(SunConfig(enabled=True))
+
+    osc = oracle.OracleScene(g.static, g.arrays, sc.materials)
+    img_o = oracle.render(osc, cam.d_camera, sun.device_data)
+    arrays = g.device_arrays()
+    mats = trace.materials_to_device(sc.materials)
+    img_j = np.asarray(trace.render_image(
+        g.static, arrays, mats, cam.d_camera,
+        sun.device_data.position, sun.device_data.color,
+        sun.device_data.radius, True))
+    diff = np.abs(img_j - img_o).max(axis=-1)
+    # refraction chains amplify the sin-hash ULP divergence; the structure
+    # must still match on the overwhelming majority of pixels
+    assert (diff > 5e-3).mean() < 0.05, (diff > 5e-3).mean()
+    assert diff.mean() < 2e-2

@@ -108,6 +108,9 @@ class EngineConfig:
     sun: SunConfig = dataclasses.field(default_factory=SunConfig)
     denoiser: DenoiserConfig = dataclasses.field(default_factory=DenoiserConfig)
     trace: TraceConfig = dataclasses.field(default_factory=TraceConfig)
+    # the "Debug build with validation layers" analog (SURVEY.md §5.2):
+    # enables jax NaN/Inf checks and validates the scene at engine init
+    debug_validation: bool = False
 
 
 # Brick geometry constants (reference brick/State.zig:5-11). These are

@@ -76,6 +76,12 @@ class VoxelRT:
         self.metrics = FrameMetrics()
         self.metrics.rays_per_frame = iw * ih * int(config.camera.samples_per_pixel)
 
+        if config.debug_validation:
+            from ..utils import validation
+
+            validation.enable_debug_mode()
+            validation.validate_scene(self.grid_static, grid.arrays)
+
         self._step_cache = {}
         self._edit_step = None
         self._remove_step = None

@@ -64,11 +64,13 @@ def demo_model(size: int = 24) -> vox_mod.Vox:
 
 def insert_vox_model(grid: BrickGrid, model: vox_mod.Vox,
                      offset: Tuple[int, int, int] = (200, 50, 150),
-                     material_offset: int = NUM_TERRAIN_MATERIALS) -> None:
-    """Insert model 0's voxels (reference main.zig:109-117: grid x,y,z =
+                     material_offset: int = NUM_TERRAIN_MATERIALS,
+                     model_index: int = 0) -> None:
+    """Insert a model's voxels (reference main.zig:109-117: grid x,y,z =
     vox x, z, y — .vox gravity axis is z — plus the fixed offset; material
-    index = color_index + number of terrain materials)."""
-    xyzi = model.models[0]
+    index = color_index + number of terrain materials). `model_index`
+    selects among PACK'd models (the reference always uses model 0)."""
+    xyzi = model.models[model_index]
     x = xyzi[:, 0].astype(np.int64) + offset[0]
     y = xyzi[:, 2].astype(np.int64) + offset[1]
     z = xyzi[:, 1].astype(np.int64) + offset[2]
