@@ -75,19 +75,29 @@ def main() -> None:
     cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
     cv = tt.camera_vectors(cam.d_camera)
 
+    bands = 8
+    band_rows = height // bands
+
     @jax.jit
     def frame(acc, origin):
         cam2 = dict(cv)
         cam2["origin"] = origin
-        o, d = tt.camera_rays(cam2, width, height, 0)
-        d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
-        n = o.shape[0]
-        h = tt.grid_hit(static, arrays, mats, o, d, jnp.float32(np.inf),
-                        jnp.full(n, 3, jnp.int32), jnp.ones(n, jnp.float32),
-                        jnp.ones(n, jnp.bool_), max_steps=max_steps,
-                        tables=tables, use_skip=True, needs_ignore=False)
+
+        def band(r0):
+            o, d = tt.camera_rays(cam2, width, height, 0, row0=r0,
+                                  rows=band_rows)
+            d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+            n = o.shape[0]
+            h = tt.grid_hit(static, arrays, mats, o, d, jnp.float32(np.inf),
+                            jnp.full(n, 3, jnp.int32),
+                            jnp.ones(n, jnp.float32),
+                            jnp.ones(n, jnp.bool_), max_steps=max_steps,
+                            tables=tables, use_skip=True, needs_ignore=False)
+            return jnp.sum(h["t"])
+        r0s = (jnp.arange(bands) * band_rows).astype(jnp.float32)
+        vals = jax.lax.map(band, r0s)
         # scalar checksum chains the dependency into the next frame
-        return acc + jnp.sum(h["t"]) * jnp.float32(1e-9) + jnp.float32(1.0)
+        return acc + jnp.sum(vals) * jnp.float32(1e-9) + jnp.float32(1.0)
 
     # camera origins along the fly-through path (varied work per frame)
     path = np.asarray(PATH_POINTS, dtype=np.float32)

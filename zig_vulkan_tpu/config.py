@@ -89,6 +89,9 @@ class TraceConfig:
     # jump can flip grazing-voxel outcomes in rare cases; disable for
     # bit-exact reference parity
     empty_skip: bool = True
+    # sequential row bands per trace (lax.map): fast bands stop paying for
+    # slow ones; ~1.6x at 1080p. Used when the band height divides evenly.
+    row_bands: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

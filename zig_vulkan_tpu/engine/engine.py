@@ -102,7 +102,7 @@ class VoxelRT:
         """Trace+(accumulate)+postprocess jitted for one static config."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_samples, dn_pixel_multiplier, max_steps,
-         empty_skip, temporal) = key
+         empty_skip, temporal, row_bands) = key
         static = self.grid_static
 
         def step(arrays, tables, mats, cam, sun_position, sun_color,
@@ -111,7 +111,7 @@ class VoxelRT:
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
                 sun_position, sun_color, sun_radius, sun_enabled,
                 max_steps=max_steps, tables=tables, use_skip=empty_skip,
-                sample_base=sample_base)
+                sample_base=sample_base, row_bands=row_bands)
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (n_accum + F(1.0))
@@ -137,7 +137,8 @@ class VoxelRT:
                 float(self.denoiser.pixel_multiplier),
                 int(self.trace_config.max_steps),
                 bool(self.trace_config.empty_skip),
-                bool(self.temporal_enabled))
+                bool(self.temporal_enabled),
+                int(self.trace_config.row_bands))
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""

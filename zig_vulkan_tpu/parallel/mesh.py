@@ -78,7 +78,9 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
             static, arrays, mats, cam, width, height, spp, max_bounce,
             sun_position, sun_color, sun_radius, sun_enabled,
             row0=row0, rows=rows, max_steps=trace_config.max_steps,
-            tables=tables, use_skip=trace_config.empty_skip)
+            tables=tables, use_skip=trace_config.empty_skip,
+            row_bands=(trace_config.row_bands
+                       if rows % trace_config.row_bands == 0 else 1))
 
     # check_vma=False: the DDA while_loop seeds its carry with unvarying
     # zeros that become tile-varying through the loop body, which the
