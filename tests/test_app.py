@@ -78,3 +78,30 @@ def test_app_main_headless(tmp_path):
         "--out", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "frame_0002.png").exists()
+
+
+def test_app_benchmark_mode(capsys):
+    from zig_vulkan_tpu.app import run
+
+    rc = run.main([
+        "--width", "16", "--height", "16", "--grid", "4", "2", "4",
+        "--no-terrain", "--no-denoise", "--spp", "1", "--bounces", "0",
+        "--benchmark", "--benchmark-duration", "0.05", "--frames", "3"])
+    assert rc == 0
+    assert "BENCHMARK REPORT" in capsys.readouterr().out
+
+
+def test_profiling_zones_and_frame_mark():
+    from zig_vulkan_tpu.utils import profiling
+
+    events = []
+    profiling.set_log_fn(lambda name, dt, extra="": events.append(name))
+    profiling.enable(True)
+    try:
+        with profiling.zone("draw"):
+            pass
+        profiling.frame_mark()
+    finally:
+        profiling.enable(False)
+        profiling.set_log_fn(None)
+    assert "draw" in events and "frame" in events
