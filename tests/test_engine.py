@@ -147,3 +147,18 @@ def test_debug_validation_mode():
     finally:
         from zig_vulkan_tpu.utils import validation
         validation.disable_debug_mode()
+
+
+def test_set_resolutions_rescale():
+    """The swapchain-rebuild analog (Pipeline.zig:657-710): new shapes mean
+    a new cached jit trace; camera pose survives the rescale."""
+    rt = small_engine()
+    rt.camera.translate(1.0, [1.0, 0.0, 0.0])
+    origin_before = rt.camera.d_camera.origin.copy()
+    rt.render()
+    rt.set_resolutions(internal=(48, 32), output=(96, 64))
+    img = np.asarray(rt.render())
+    assert img.shape == (64, 96, 3)
+    np.testing.assert_allclose(rt.camera.d_camera.origin, origin_before)
+    assert len(rt._step_cache) == 2  # old + new static config
+    assert rt.metrics.rays_per_frame == 48 * 32 * 1
