@@ -19,9 +19,11 @@ surrounding wavefront then gathers that cell's record and runs the
 gather-free brick phase. Used when `TraceConfig.use_pallas` is set and the
 scene's bitmap fits VMEM; `interpret=True` keeps it testable on CPU.
 
-Status: per-lane VMEM gathers depend on Mosaic's dynamic-gather support on
-the target TPU generation — validated at engine init and falls back to the
-XLA path if compilation fails.
+Status: superseded by ops.trace_pallas (the full two-level kernel); both
+are blocked on real TPUs of this generation because Mosaic only lowers
+per-sublane 128-lane shuffles, not large-table dynamic gathers (measured —
+see docs/DESIGN_NOTES.md). Kept as the minimal interpret-mode reference for
+the round-2 shuffle-tree/binning kernels.
 """
 
 from __future__ import annotations

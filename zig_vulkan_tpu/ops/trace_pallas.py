@@ -22,9 +22,13 @@ address); the caller gathers the material byte and shades in XLA.
 
 VMEM budget for the default 1M-cell scene: 4MB (c2b) + 4MB (dist, int32)
 + 3x active-brick tables. Scenes beyond the VMEM budget use the XLA path.
-Per-lane dynamic gathers from VMEM depend on Mosaic support on the target
-TPU generation; `interpret=True` covers CPU testing, and the engine
-validates one compile before enabling the path.
+Per-lane dynamic gathers from VMEM are NOT lowered by Mosaic on the
+measured TPU generation (only per-sublane 128-lane shuffles are; see
+docs/DESIGN_NOTES.md), so this kernel runs in interpret mode only. It pins
+the in-kernel traversal semantics for the round-2 plan: the same loop with
+lookups rewritten as shuffle trees over region tables block-DMA'd via
+PrefetchScalarGridSpec (both primitives hardware-validated at 1.2 G
+lookups/s).
 """
 
 from __future__ import annotations
