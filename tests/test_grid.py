@@ -194,3 +194,32 @@ def test_remove_edits_device():
     )
     assert back.voxel_material(1, 2, 3) is None
     assert back.voxel_material(1, 2, 2) == 6
+
+
+def test_apply_edits_maintains_dielectric_masks():
+    import jax
+    import jax.numpy as jnp
+
+    from zig_vulkan_tpu.core.materials import terrain_materials
+
+    mats = terrain_materials()  # material 0 = water (dielectric ir 1.333)
+    grid = small_grid()
+    grid.attach_materials(mats)
+    arrays = grid.device_arrays()
+    xyz = np.asarray([[1, 1, 1], [2, 1, 1]], dtype=np.int32)
+    edit_mats = np.asarray([0, 1], dtype=np.uint8)  # water + grass
+    valid = np.ones(2, dtype=bool)
+    out = jax.jit(g.apply_edits, static_argnums=0)(
+        grid.static, arrays, jnp.asarray(xyz), jnp.asarray(edit_mats),
+        jnp.asarray(valid), jnp.asarray(mats.mtype == 2),
+        jnp.asarray(mats.type_data))
+
+    # host reference
+    grid.insert_batch(xyz[:, 0], xyz[:, 1], xyz[:, 2], edit_mats)
+    # same brick (voxels adjacent): masks must agree per brick content
+    dm = np.asarray(out.diel_mask)
+    assert dm.sum() > 0  # water voxel marked
+    host_dm = grid.arrays.diel_mask
+    assert dm.sum() == host_dm.sum()
+    ir = np.asarray(out.brick_ir)
+    assert np.nanmax(np.where(np.isnan(ir), -1, ir)) == np.float32(1.333)

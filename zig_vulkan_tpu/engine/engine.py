@@ -86,7 +86,9 @@ class VoxelRT:
         self._edit_step = None
         self._remove_step = None
         self._tables = None
+        self._dist = None
         self._tables_fn = jax.jit(trace_mod.build_trace_tables, static_argnums=0)
+        self._dist_fn = jax.jit(trace_mod.distance_field, static_argnums=0)
 
         # temporal accumulation (superset; BASELINE config 4): running
         # average of traced frames while the camera/sun pose is static,
@@ -149,9 +151,12 @@ class VoxelRT:
             self._step_cache[key] = step
         sun = self.sun.device_data
         if self._tables is None:
-            # scene-derived traversal records, cached across frames
-            # (rebuilt after edits; see ops.trace.build_trace_tables)
-            self._tables = self._tables_fn(self.grid_static, self.arrays)
+            # scene-derived traversal records, cached across frames; the
+            # skip field is cached separately (removals keep it valid)
+            if self._dist is None:
+                self._dist = self._dist_fn(self.grid_static, self.arrays)
+            self._tables = self._tables_fn(self.grid_static, self.arrays,
+                                           self._dist)
 
         iw, ih = self.internal_resolution
         pose = (tuple(np.asarray(self.camera.d_camera.origin).tolist()),
@@ -208,6 +213,7 @@ class VoxelRT:
         assert grid.static == self.grid_static, "grid geometry must match"
         self.arrays = grid.device_arrays()
         self._tables = None
+        self._dist = None
 
     def push_materials(self, materials: MaterialTable) -> None:
         """Replace the material table (VoxelRT.zig:85-88)."""
@@ -283,8 +289,11 @@ class VoxelRT:
                 apply_edits, static_argnums=0, donate_argnums=1)
         self.arrays = self._edit_step(
             self.grid_static, self.arrays, jnp.asarray(pad_xyz),
-            jnp.asarray(pad_mat), jnp.asarray(valid))
+            jnp.asarray(pad_mat), jnp.asarray(valid),
+            jnp.asarray(self.materials_host.mtype == 2),
+            jnp.asarray(self.materials_host.type_data))
         self._tables = None  # traversal records now stale
+        self._dist = None    # inserts can allocate bricks
 
     def remove_voxels(self, xyz) -> None:
         """Functional voxel removal (superset; BASELINE config 3)."""
@@ -301,7 +310,8 @@ class VoxelRT:
         self.arrays = self._remove_step(
             self.grid_static, self.arrays, jnp.asarray(pad_xyz),
             jnp.asarray(valid))
-        self._tables = None  # traversal records now stale
+        self._tables = None  # records stale; removals never free bricks,
+        # so the cached skip field stays valid (statuses untouched)
 
     # -- benchmark (reference VoxelRT.createBenchmark, VoxelRT.zig:72-74) --------
 

@@ -138,7 +138,18 @@ def _distance_field(static: GridStatic, loaded):
     return dist.reshape(-1)
 
 
-def build_trace_tables(static: GridStatic, arrays: GridArrays):
+def distance_field(static: GridStatic, arrays: GridArrays):
+    """Standalone skip-field build (see _distance_field). The field depends
+    only on which CELLS are loaded (statuses), not on voxel contents, so
+    edits that cannot allocate or free bricks (e.g. removals) can reuse a
+    cached field and rebuild only the cheap record gathers."""
+    cells = jnp.arange(static.cells, dtype=jnp.uint32)
+    bits = arrays.statuses[(cells // 32).astype(jnp.int32)]
+    loaded = ((bits >> (cells % 32)) & jnp.uint32(1)) == 1
+    return _distance_field(static, loaded)
+
+
+def build_trace_tables(static: GridStatic, arrays: GridArrays, dist=None):
     """Per-cell traversal records: int32[cells, 8] rows of
     {material window start (or -1 = empty cell), occupancy word 0,
     occupancy word 1, empty-space Chebyshev skip distance,
@@ -172,7 +183,8 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays):
     start = arrays.start_indices[brick]
     start = jnp.where(loaded, start, _EMPTY)
     # cell index space is x + dim_x*(z + dim_z*y) -> volume (y, z, x)
-    dist = _distance_field(static, loaded)
+    if dist is None:
+        dist = _distance_field(static, loaded)
     return jnp.stack(
         [start.astype(jnp.int32),
          occ_rows[:, 0].astype(jnp.int32),
