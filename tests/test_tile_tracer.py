@@ -1,0 +1,97 @@
+"""Region-marching tile tracer (interpret mode) vs the XLA tracer."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zig_vulkan_tpu.config import CameraConfig, GridConfig
+from zig_vulkan_tpu.core.grid import BrickGrid
+from zig_vulkan_tpu.core.camera import Camera
+from zig_vulkan_tpu.core.materials import terrain_materials
+from zig_vulkan_tpu.ops import trace
+from zig_vulkan_tpu.ops.tile_tracer import (
+    TILE,
+    build_region_tables,
+    trace_tiles_regions,
+)
+
+
+def multi_region_scene():
+    """32^3-cell grid -> 2x2x2 regions of 16^3 cells."""
+    grid = BrickGrid(32, 32, 32, GridConfig(min_point=(0.0, 0.0, 0.0), scale=1.0))
+    mats = terrain_materials()
+    grid.attach_materials(mats)
+    vx, vy, vz = grid.static.voxel_dims
+    xs, zs = np.meshgrid(np.arange(vx), np.arange(vz), indexing="ij")
+    for y in range(4):
+        grid.insert_batch(xs.ravel(), np.full(xs.size, y), zs.ravel(),
+                          np.full(xs.size, 1, dtype=np.uint8))
+    # scattered pillars across several regions
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        px, pz = rng.integers(8, vx - 8, 2)
+        ys = np.arange(4, rng.integers(16, 60))
+        grid.insert_batch(np.full(ys.size, px), ys, np.full(ys.size, pz),
+                          np.full(ys.size, 5, dtype=np.uint8))
+    return grid, mats
+
+
+def _rays(static, origin, w=32, h=32):
+    cam = Camera(75.0, w, h, CameraConfig(origin=origin))
+    d = cam.d_camera
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    u = (xs / np.float32(w - 1)).ravel()
+    v = (ys / np.float32(h - 1)).ravel()
+    rd = (d.horizontal * u[:, None] + d.lower_left_corner
+          + d.vertical * v[:, None] - d.origin).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = np.broadcast_to(d.origin, rd.shape).astype(np.float32).copy()
+    return ro, rd
+
+
+@pytest.mark.parametrize("origin", [(16.0, 25.0, 70.0), (16.0, 8.0, 40.0),
+                                    (-10.0, 20.0, -10.0)])
+def test_region_march_matches_xla(origin):
+    grid, mats_t = multi_region_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+
+    ro, rd = _rays(st, origin)
+    n = ro.shape[0]
+    assert n % TILE == 0
+
+    ref = trace.grid_hit(st, arrays, mats, jnp.asarray(ro), jnp.asarray(rd),
+                         jnp.float32(np.inf), jnp.full(n, 3, jnp.int32),
+                         jnp.ones(n, jnp.float32), jnp.ones(n, bool),
+                         use_skip=True, needs_ignore=False, tables=tables)
+
+    # slab-clamped entry t (as grid_hit computes internally)
+    gmin = np.asarray(st.min_point, np.float32)
+    gmax = np.asarray(st.max_point, np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(rd == 0, 1e12, 1.0 / rd).astype(np.float32)
+    tl = (gmin - ro) * inv
+    tu = (gmax - ro) * inv
+    tmin = np.minimum(tl, tu).max(axis=-1)
+    tmax = np.maximum(tl, tu).min(axis=-1)
+    t_base = np.maximum(tmin, 1e-5).astype(np.float32)
+    ok = t_base <= tmax
+
+    got = trace_tiles_regions(
+        st, blocks,
+        jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+        jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+        jnp.asarray(t_base), jnp.asarray(ok), interpret=True)
+
+    f_r = np.asarray(ref["found"])
+    f_g = np.asarray(got["found"])
+    agree = (f_r == f_g).mean()
+    assert agree > 0.99, (origin, agree)
+    both = f_r & f_g
+    np.testing.assert_allclose(np.asarray(got["t"])[both],
+                               np.asarray(ref["t"])[both], atol=5e-2)

@@ -1,0 +1,413 @@
+"""Coherent-tile region-marching tracer (round-2 prototype).
+
+The production wavefront tracer (ops.trace) pays one XLA gather row per DDA
+step over ALL lanes (~0.1 G lookups/s, scalar-unit bound — see
+docs/DESIGN_NOTES.md). This kernel removes XLA gathers from the hot loop
+entirely by exploiting primary-ray coherence:
+
+- rays are tiled 8x128; a tile marches REGION by region (a region is an
+  RCY x RCZ x RCX block of grid cells, default 16^3 = 4096 cells);
+- each phase, the tile picks the minimum pending region among its live
+  lanes, DMAs that region's record block (8 fields x 32 x 128, 128KB) from
+  HBM into VMEM scratch (`pltpu.make_async_copy` with a dynamic region
+  index), and runs the two-level DDA for every lane currently in that
+  region — all lookups are per-sublane 128-lane shuffles over the
+  VMEM-resident block (hardware-validated at ~1.2 G lookups/s);
+- lanes that exit the region record their next region id and stall until
+  the tile loads it; hits/misses retire lanes.
+
+Traversal semantics match ops.trace's skip path (cursor re-derivation from
+t at region entry, Chebyshev skip, brick registers, deferred materials,
+brick-local dielectric rule). Exactness mode is not offered here.
+
+Status: experimental — validated in interpret mode against the XLA tracer
+across multiple camera poses and regions. The environment's remote Mosaic
+compiler currently crashes on the full kernel (HTTP 500 from the compile
+helper, no diagnostic); isolating the offending construct (suspects: the
+dynamic-index HBM DMA inside nested fori_loops, or the kernel size) is the
+first round-2 task. All constituent primitives compile and run standalone
+(shuffle-tree lookups at 1.2 G/s, dynamic block DMA via scalar prefetch —
+see docs/DESIGN_NOTES.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BRICK_DIMENSION
+from ..core.grid import GridArrays, GridStatic
+from .trace import build_trace_tables
+
+F = jnp.float32
+_BD = BRICK_DIMENSION
+
+TILE_LANES = 128
+TILE_SUBLANES = 8
+TILE = TILE_SUBLANES * TILE_LANES
+
+# region edge lengths in grid cells (y, z, x); product must be 4096
+REGION_CELLS = (16, 16, 16)
+_RC = REGION_CELLS[0] * REGION_CELLS[1] * REGION_CELLS[2]
+_SUBROWS = _RC // 128  # 32
+
+
+def region_grid(static: GridStatic):
+    """Number of regions per axis (y, z, x); grid dims must divide."""
+    ry, rz, rx = REGION_CELLS
+    assert static.dim_y % ry == 0 and static.dim_z % rz == 0 \
+        and static.dim_x % rx == 0, "grid dims must divide REGION_CELLS"
+    return static.dim_y // ry, static.dim_z // rz, static.dim_x // rx
+
+
+def build_region_tables(static: GridStatic, arrays: GridArrays, tables=None):
+    """Reorder the per-cell records (cells, 8) into region-major blocks
+    f32-free int32[NR, 8, 32, 128]: one DMA-able block per region, each
+    field laid out for 128-lane shuffle lookups."""
+    if tables is None:
+        tables = build_trace_tables(static, arrays)
+    ny, nz, nx = region_grid(static)
+    ry, rz, rx = REGION_CELLS
+    # cell index = x + dim_x*(z + dim_z*y)  -> volume (y, z, x, 8)
+    vol = tables.reshape(static.dim_y, static.dim_z, static.dim_x, 8)
+    vol = vol.reshape(ny, ry, nz, rz, nx, rx, 8)
+    # -> (regions..., local y, z, x, fields)
+    vol = vol.transpose(0, 2, 4, 1, 3, 5, 6)
+    # local cell id = lx + rx*(lz + rz*ly); fields major for shuffle lookups
+    blocks = vol.reshape(ny * nz * nx, _RC, 8).transpose(0, 2, 1)
+    return blocks.reshape(ny * nz * nx, 8, _SUBROWS, 128)
+
+
+def _lookup(block_field, local_idx):
+    """Shuffle-tree lookup: block_field int32[32,128], local_idx (8,128) in
+    [0, 4096). ~32 shuffles + selects (hardware ~1.2 G lookups/s)."""
+    r = local_idx // 128
+    c = local_idx % 128
+    val = jnp.zeros(local_idx.shape, jnp.int32)
+    for row in range(_SUBROWS):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(block_field[row], local_idx.shape), c, axis=1)
+        val = jnp.where(r == row, cand, val)
+    return val
+
+
+def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
+    dim_x, dim_y, dim_z = static.dims
+    ny, nz, nx = region_grid(static)
+    ry, rz, rx = REGION_CELLS
+    gx0, gy0, gz0 = (np.float32(v) for v in static.min_point)
+    scale = np.float32(static.scale)
+    voxel_scale = np.float32(static.scale / _BD)
+
+    def kernel(blocks_hbm, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tb_ref, act_ref, found_ref, t_ref, ncode_ref, addr_ref,
+               scratch, sem):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = act_ref[:] != 0
+        t0_in = tb_ref[:]
+
+        ix = jnp.where(dx == 0.0, F(1e12), F(1.0) / dx)
+        iy = jnp.where(dy == 0.0, F(1e12), F(1.0) / dy)
+        iz = jnp.where(dz == 0.0, F(1e12), F(1.0) / dz)
+        adx, ady, adz = jnp.abs(ix), jnp.abs(iy), jnp.abs(iz)
+        stx = jnp.sign(dx).astype(jnp.int32)
+        sty = jnp.sign(dy).astype(jnp.int32)
+        stz = jnp.sign(dz).astype(jnp.int32)
+        stxf, styf, stzf = stx.astype(F), sty.astype(F), stz.astype(F)
+        inv_max_abs = F(1.0) / jnp.maximum(
+            jnp.abs(dx), jnp.maximum(jnp.abs(dy), jnp.abs(dz)))
+        code_x = jnp.where(stx < 0, 0, 4)
+        code_y = jnp.where(sty < 0, 1, 5)
+        code_z = jnp.where(stz < 0, 2, 6)
+
+        # slab entry code + grid_t_max (as in ops.trace)
+        tux = (np.float32(static.max_point[0]) - ox) * ix
+        tuy = (np.float32(static.max_point[1]) - oy) * iy
+        tuz = (np.float32(static.max_point[2]) - oz) * iz
+        tlx = (gx0 - ox) * ix
+        tly = (gy0 - oy) * iy
+        tlz = (gz0 - oz) * iz
+        tminx = jnp.minimum(tlx, tux)
+        tminy = jnp.minimum(tly, tuy)
+        tminz = jnp.minimum(tlz, tuz)
+        tmax_all = jnp.minimum(jnp.maximum(tlx, tux),
+                               jnp.minimum(jnp.maximum(tly, tuy),
+                                           jnp.maximum(tlz, tuz)))
+        is_y = (tminy > tminx) & (tminy > tminz)
+        is_z = (tminz > tminx) & (tminz > tminy)
+        is_x = ~(is_y | is_z)
+        slab_code = jnp.where(
+            is_x, jnp.where(ix >= 0, 0, 4),
+            jnp.where(is_y, jnp.where(iy >= 0, 1, 5),
+                      jnp.where(iz >= 0, 2, 6))).astype(jnp.int32)
+
+        def grid_init(tb):
+            t0 = tb + F(1e-4) * scale
+            fx = (ox + dx * t0 - gx0) / scale
+            fy = (oy + dy * t0 - gy0) / scale
+            fz = (oz + dz * t0 - gz0) / scale
+            sx = (stxf * (jnp.floor(fx) - fx) + (stxf * F(0.5) + F(0.5))) * adx
+            sy = (styf * (jnp.floor(fy) - fy) + (styf * F(0.5) + F(0.5))) * ady
+            sz = (stzf * (jnp.floor(fz) - fz) + (stzf * F(0.5) + F(0.5))) * adz
+            return (sx, sy, sz, jnp.floor(fx).astype(jnp.int32),
+                    jnp.floor(fy).astype(jnp.int32),
+                    jnp.floor(fz).astype(jnp.int32))
+
+        def region_of(lx, ly, lz):
+            return (lx // rx) + nx * ((lz // rz) + nz * (ly // ry))
+
+        # per-lane persistent state across phases
+        _, _, _, lx0, ly0, lz0 = grid_init(t0_in)
+        in_grid0 = ((lx0 >= 0) & (lx0 < dim_x) & (ly0 >= 0) & (ly0 < dim_y)
+                    & (lz0 >= 0) & (lz0 < dim_z))
+        pend0 = jnp.where(act & in_grid0, region_of(lx0, ly0, lz0), -1)
+
+        def phase_body(_, st):
+            (pending, t_cur, ncode, found, out_t, out_addr) = st
+            live = pending >= 0
+            # the tile's region this phase: min pending among live lanes
+            rid = jnp.min(jnp.where(live, pending, jnp.int32(ny * nz * nx)))
+            rid = jnp.minimum(rid, jnp.int32(ny * nz * nx - 1))
+
+            dma = pltpu.make_async_copy(blocks_hbm.at[rid], scratch, sem)
+            dma.start()
+            dma.wait()
+
+            mine = live & (pending == rid)
+            # region box in cell coords
+            r_y = rid // (nz * nx)
+            r_z = (rid // nx) % nz
+            r_x = rid % nx
+            bx0 = r_x * rx
+            by0 = r_y * ry
+            bz0 = r_z * rz
+
+            # re-derive DDA cursor from t (the skip re-init machinery)
+            sx, sy, sz, lx, ly, lz = grid_init(t_cur)
+            t_base = t_cur
+            tv = jnp.zeros_like(t_cur)
+            in_brick = jnp.zeros_like(mine)
+            occ_lo = jnp.zeros(t_cur.shape, jnp.uint32)
+            occ_hi = jnp.zeros(t_cur.shape, jnp.uint32)
+            dml = jnp.zeros(t_cur.shape, jnp.uint32)
+            dmh = jnp.zeros(t_cur.shape, jnp.uint32)
+            mat_start = jnp.zeros(t_cur.shape, jnp.int32)
+            entry_t = jnp.zeros_like(t_cur)
+            b_t = jnp.zeros_like(t_cur)
+            bsx = jnp.zeros_like(t_cur)
+            bsy = jnp.zeros_like(t_cur)
+            bsz = jnp.zeros_like(t_cur)
+            blx = jnp.zeros(t_cur.shape, jnp.int32)
+            bly = jnp.zeros(t_cur.shape, jnp.int32)
+            blz = jnp.zeros(t_cur.shape, jnp.int32)
+            running = mine
+
+            def step_body(_, ss):
+                (running, in_brick, t_base, tv, sx, sy, sz, lx, ly, lz,
+                 bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
+                 occ_lo, occ_hi, dml, dmh, mat_start, ncode,
+                 found, out_t, out_addr, pending, t_cur) = ss
+
+                g = running & ~in_brick
+                in_region = ((lx >= bx0) & (lx < bx0 + rx)
+                             & (ly >= by0) & (ly < by0 + ry)
+                             & (lz >= bz0) & (lz < bz0 + rz))
+                in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0) & (ly < dim_y)
+                           & (lz >= 0) & (lz < dim_z))
+                # leaving the region (but still in grid): park for later
+                exit_t = t_base + F(1e-4) * scale + tv
+                g_park = g & ~in_region & in_grid
+                g_miss = g & ~in_grid
+                pending = jnp.where(g_park, region_of(lx, ly, lz), pending)
+                pending = jnp.where(g_miss, -1, pending)
+                t_cur = jnp.where(g_park, exit_t - F(2e-4) * scale, t_cur)
+                running = running & ~g_park & ~g_miss
+                g_act = g & in_region
+
+                local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
+                local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
+                start_raw = _lookup(scratch[0], local)
+                enter = g_act & (start_raw != -1)
+                occ_lo = jnp.where(enter, _lookup(scratch[1], local)
+                                   .astype(jnp.uint32), occ_lo)
+                occ_hi = jnp.where(enter, _lookup(scratch[2], local)
+                                   .astype(jnp.uint32), occ_hi)
+                dist = _lookup(scratch[3], local)
+                dml = jnp.where(enter, _lookup(scratch[4], local)
+                                .astype(jnp.uint32), dml)
+                dmh = jnp.where(enter, _lookup(scratch[5], local)
+                                .astype(jnp.uint32), dmh)
+                mat_start = jnp.where(enter, start_raw & jnp.int32(0x7FFFFFFF),
+                                      mat_start)
+
+                do_skip = g_act & ~enter & (dist >= 2)
+                cur_t = t_base + F(1e-4) * scale + tv
+                new_tb = cur_t + (dist.astype(F) - F(1.0)) * scale * inv_max_abs
+                t_base = jnp.where(do_skip, new_tb, t_base)
+                rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+
+                bminx = lx.astype(F) * scale + gx0
+                bminy = ly.astype(F) * scale + gy0
+                bminz = lz.astype(F) * scale + gz0
+                new_gt = tv + t_base + F(0.01) * scale
+                entry_t = jnp.where(enter, new_gt, entry_t)
+                et = jnp.where(enter, entry_t, F(0.0))
+                bfx = (ox + dx * et - bminx) / voxel_scale
+                bfy = (oy + dy * et - bminy) / voxel_scale
+                bfz = (oz + dz * et - bminz) / voxel_scale
+                bsx = jnp.where(enter, (stxf * (jnp.floor(bfx) - bfx)
+                                        + (stxf * F(0.5) + F(0.5))) * adx, bsx)
+                bsy = jnp.where(enter, (styf * (jnp.floor(bfy) - bfy)
+                                        + (styf * F(0.5) + F(0.5))) * ady, bsy)
+                bsz = jnp.where(enter, (stzf * (jnp.floor(bfz) - bfz)
+                                        + (stzf * F(0.5) + F(0.5))) * adz, bsz)
+                blx = jnp.where(enter, jnp.floor(bfx).astype(jnp.int32), blx)
+                bly = jnp.where(enter, jnp.floor(bfy).astype(jnp.int32), bly)
+                blz = jnp.where(enter, jnp.floor(bfz).astype(jnp.int32), blz)
+                b_t = jnp.where(enter, F(0.0), b_t)
+                in_brick = in_brick | enter
+
+                b = running & in_brick
+                ltm = tmax_all - entry_t
+                in_b_b = ((blx >= 0) & (blx < _BD) & (bly >= 0) & (bly < _BD)
+                          & (blz >= 0) & (blz < _BD) & (b_t <= ltm))
+                b_exit = b & ~in_b_b
+                in_brick = in_brick & ~b_exit
+                b_act = b & in_b_b
+
+                vi = blx + _BD * (blz + _BD * bly)
+                viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
+                occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
+                occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
+                real_hit = b_act & (occ_bit == 1)
+
+                t_off = voxel_scale * F(0.05)
+                hit_t = entry_t + b_t - t_off
+                found = found | real_hit
+                out_t = jnp.where(real_hit, hit_t, out_t)
+                out_addr = jnp.where(real_hit, mat_start + vi, out_addr)
+                running = running & ~real_hit
+                pending = jnp.where(real_hit, -1, pending)
+
+                brick_steps = b_act & ~real_hit
+                grid_steps = (g_act & ~enter & ~do_skip) | b_exit
+
+                bax = (bsx < bsy) & (bsx < bsz)
+                bay = ~(bsx < bsy) & (bsy < bsz)
+                baz = ~(bax | bay)
+                bt_new = jnp.where(bax, bsx, jnp.where(bay, bsy, bsz)) * voxel_scale
+                bsx = jnp.where(brick_steps & bax, bsx + adx, bsx)
+                bsy = jnp.where(brick_steps & bay, bsy + ady, bsy)
+                bsz = jnp.where(brick_steps & baz, bsz + adz, bsz)
+                blx = jnp.where(brick_steps & bax, blx + stx, blx)
+                bly = jnp.where(brick_steps & bay, bly + sty, bly)
+                blz = jnp.where(brick_steps & baz, blz + stz, blz)
+                b_t = jnp.where(brick_steps, bt_new, b_t)
+                ncode = jnp.where(
+                    brick_steps,
+                    jnp.where(bax, code_x, jnp.where(bay, code_y, code_z)),
+                    ncode)
+
+                gax = (sx < sy) & (sx < sz)
+                gay = ~(sx < sy) & (sy < sz)
+                gaz = ~(gax | gay)
+                gt_new = jnp.where(gax, sx, jnp.where(gay, sy, sz)) * scale
+                sx = jnp.where(grid_steps & gax, sx + adx, sx)
+                sy = jnp.where(grid_steps & gay, sy + ady, sy)
+                sz = jnp.where(grid_steps & gaz, sz + adz, sz)
+                lx = jnp.where(grid_steps & gax, lx + stx, lx)
+                ly = jnp.where(grid_steps & gay, ly + sty, ly)
+                lz = jnp.where(grid_steps & gaz, lz + stz, lz)
+                tv = jnp.where(grid_steps, gt_new, tv)
+                ncode = jnp.where(
+                    grid_steps,
+                    jnp.where(gax, code_x, jnp.where(gay, code_y, code_z)),
+                    ncode)
+
+                sx = jnp.where(do_skip, rsx, sx)
+                sy = jnp.where(do_skip, rsy, sy)
+                sz = jnp.where(do_skip, rsz, sz)
+                lx = jnp.where(do_skip, rlx, lx)
+                ly = jnp.where(do_skip, rly, ly)
+                lz = jnp.where(do_skip, rlz, lz)
+                tv = jnp.where(do_skip, F(0.0), tv)
+
+                return (running, in_brick, t_base, tv, sx, sy, sz, lx, ly, lz,
+                        bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
+                        occ_lo, occ_hi, dml, dmh, mat_start, ncode,
+                        found, out_t, out_addr, pending, t_cur)
+
+            ss = (running, in_brick, t_base, tv, sx, sy, sz, lx, ly, lz,
+                  bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
+                  occ_lo, occ_hi, dml, dmh, mat_start, ncode,
+                  found, out_t, out_addr, pending, t_cur)
+            ss = jax.lax.fori_loop(0, steps_per_phase, step_body, ss)
+            (running, _, t_base, tv, _, _, _, lx, ly, lz,
+             _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
+             found, out_t, out_addr, pending, t_cur) = ss
+            # lanes still running when the phase budget ends: park in place
+            exit_t = t_base + F(1e-4) * scale + tv
+            pending = jnp.where(running, region_of(
+                jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
+                jnp.clip(lz, 0, dim_z - 1)), pending)
+            t_cur = jnp.where(running, exit_t - F(2e-4) * scale, t_cur)
+            return (pending, t_cur, ncode, found, out_t, out_addr)
+
+        st = (pend0, t0_in, slab_code,
+              jnp.zeros(ox.shape, jnp.bool_), jnp.zeros_like(ox),
+              jnp.zeros(ox.shape, jnp.int32))
+        st = jax.lax.fori_loop(0, max_phases, phase_body, st)
+        pending, t_cur, ncode, found, out_t, out_addr = st
+        found_ref[:] = found.astype(jnp.int32)
+        t_ref[:] = out_t
+        ncode_ref[:] = ncode
+        addr_ref[:] = out_addr
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("static", "max_phases", "steps_per_phase",
+                                   "interpret"))
+def trace_tiles_regions(static: GridStatic, region_blocks,
+                        ox, oy, oz, dx, dy, dz, t_base, active,
+                        max_phases: int = 24, steps_per_phase: int = 48,
+                        interpret: bool = False):
+    """Region-marching tile trace. Returns dict(found, t, ncode, mat_addr)."""
+    n = ox.shape[0]
+    assert n % TILE == 0
+    tiles = n // TILE
+
+    def reshape(a):
+        return a.reshape(tiles * TILE_SUBLANES, TILE_LANES)
+
+    ray_spec = pl.BlockSpec((TILE_SUBLANES, TILE_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = (tiles * TILE_SUBLANES, TILE_LANES)
+    found, t, ncode, addr = pl.pallas_call(
+        _tile_kernel(static, max_phases, steps_per_phase),
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, _SUBROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(region_blocks,
+      reshape(ox), reshape(oy), reshape(oz),
+      reshape(dx), reshape(dy), reshape(dz),
+      reshape(t_base), reshape(active.astype(jnp.int32)))
+    return dict(found=found.reshape(n) != 0, t=t.reshape(n),
+                ncode=ncode.reshape(n), mat_addr=addr.reshape(n))
