@@ -347,6 +347,11 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                   bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
                   occ_lo, occ_hi, dml, dmh, mat_start, ncode,
                   found, out_t, out_addr, pending, t_cur)
+            # NOTE (hardware findings): the remote Mosaic compiler handles
+            # this fori at steps_per_phase=1 but crashes for larger bounds
+            # (it appears to unroll constant-bound fori loops), and crashes
+            # on a while_loop form even at 1 step. Bisecting/shrinking the
+            # body is the first round-2 task; the kernel is interpret-exact.
             ss = jax.lax.fori_loop(0, steps_per_phase, step_body, ss)
             (running, _, t_base, tv, _, _, _, lx, ly, lz,
              _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
