@@ -51,10 +51,12 @@ TILE_LANES = 128
 TILE_SUBLANES = 8
 TILE = TILE_SUBLANES * TILE_LANES
 
-# region edge lengths in grid cells (y, z, x); product must be 4096
-REGION_CELLS = (16, 16, 16)
+# region edge lengths in grid cells (y, z, x). Smaller regions mean more
+# phases but much smaller shuffle trees (the remote Mosaic compiler chokes
+# on large kernel bodies; 8^3 = 4 sub-rows keeps the per-field tree tiny).
+REGION_CELLS = (8, 8, 8)
 _RC = REGION_CELLS[0] * REGION_CELLS[1] * REGION_CELLS[2]
-_SUBROWS = _RC // 128  # 32
+_SUBROWS = max(1, _RC // 128)
 
 
 def region_grid(static: GridStatic):
@@ -67,7 +69,7 @@ def region_grid(static: GridStatic):
 
 def build_region_tables(static: GridStatic, arrays: GridArrays, tables=None):
     """Reorder the per-cell records (cells, 8) into region-major blocks
-    f32-free int32[NR, 8, 32, 128]: one DMA-able block per region, each
+    f32-free int32[NR, 8, _SUBROWS, 128]: one DMA-able block per region, each
     field laid out for 128-lane shuffle lookups."""
     if tables is None:
         tables = build_trace_tables(static, arrays)
@@ -171,9 +173,16 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
         def phase_body(_, st):
             (pending, t_cur, ncode, found, out_t, out_addr) = st
             live = pending >= 0
-            # the tile's region this phase: min pending among live lanes
-            rid = jnp.min(jnp.where(live, pending, jnp.int32(ny * nz * nx)))
-            rid = jnp.minimum(rid, jnp.int32(ny * nz * nx - 1))
+            # the tile's region this phase: the region of the LEAST-ADVANCED
+            # live lane (min t). Serving march-order guarantees progress of
+            # the critical path; a plain min-region vote starves lanes whose
+            # region ids run against the march direction (measured).
+            inf_t = jnp.float32(3e38)
+            t_live = jnp.where(live, t_cur, inf_t)
+            tmin = jnp.min(t_live)
+            rid = jnp.min(jnp.where(live & (t_live <= tmin),
+                                    pending, jnp.int32(ny * nz * nx)))
+            rid = jnp.clip(rid, 0, jnp.int32(ny * nz * nx - 1))
 
             dma = pltpu.make_async_copy(blocks_hbm.at[rid], scratch, sem)
             dma.start()
@@ -226,7 +235,10 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                 g_miss = g & ~in_grid
                 pending = jnp.where(g_park, region_of(lx, ly, lz), pending)
                 pending = jnp.where(g_miss, -1, pending)
-                t_cur = jnp.where(g_park, exit_t - F(2e-4) * scale, t_cur)
+                # park exactly at the boundary: the next phase's re-init
+                # adds +1e-4*scale and lands inside the lane's new cell (a
+                # backstep here would land in the OLD region and oscillate)
+                t_cur = jnp.where(g_park, exit_t, t_cur)
                 running = running & ~g_park & ~g_miss
                 g_act = g & in_region
 
@@ -361,7 +373,8 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             pending = jnp.where(running, region_of(
                 jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
                 jnp.clip(lz, 0, dim_z - 1)), pending)
-            t_cur = jnp.where(running, exit_t - F(2e-4) * scale, t_cur)
+            # budget park: re-init will re-check the current cell (idempotent)
+            t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
             return (pending, t_cur, ncode, found, out_t, out_addr)
 
         st = (pend0, t0_in, slab_code,
@@ -381,7 +394,7 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                                    "interpret"))
 def trace_tiles_regions(static: GridStatic, region_blocks,
                         ox, oy, oz, dx, dy, dz, t_base, active,
-                        max_phases: int = 24, steps_per_phase: int = 48,
+                        max_phases: int = 128, steps_per_phase: int = 48,
                         interpret: bool = False):
     """Region-marching tile trace. Returns dict(found, t, ncode, mat_addr)."""
     n = ox.shape[0]
