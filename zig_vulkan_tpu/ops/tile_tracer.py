@@ -21,13 +21,17 @@ t at region entry, Chebyshev skip, brick registers, deferred materials,
 brick-local dielectric rule). Exactness mode is not offered here.
 
 Status: experimental — validated in interpret mode against the XLA tracer
-across multiple camera poses and regions. The environment's remote Mosaic
-compiler currently crashes on the full kernel (HTTP 500 from the compile
-helper, no diagnostic); isolating the offending construct (suspects: the
-dynamic-index HBM DMA inside nested fori_loops, or the kernel size) is the
-first round-2 task. All constituent primitives compile and run standalone
-(shuffle-tree lookups at 1.2 G/s, dynamic block DMA via scalar prefetch —
-see docs/DESIGN_NOTES.md).
+across multiple camera poses and regions (100% hit agreement). Hardware
+bisection so far (remote Mosaic compiler, no diagnostics): the kernel
+compiles and runs with steps_per_phase=1 (loops elided), but ANY real loop
+around the DDA step body crashes the compiler (fori >= 2 and while_loop
+both), while a fori(64) around a plain 32-shuffle lookup body compiles
+fine — so the trigger is this body's shape (29-wide mixed-dtype carry
+and/or the dynamic-index DMA in the enclosing loop), not code size.
+Round-2 task: shrink the carry / hoist the DMA into XLA-orchestrated
+phases (scalar-prefetch blocks are validated) until the loop compiles.
+All constituent primitives compile and run standalone (shuffle-tree
+lookups at 1.2 G/s, dynamic block DMA — see docs/DESIGN_NOTES.md).
 """
 
 from __future__ import annotations
