@@ -58,7 +58,7 @@ TILE = TILE_SUBLANES * TILE_LANES
 # region edge lengths in grid cells (y, z, x). Smaller regions mean more
 # phases but much smaller shuffle trees (the remote Mosaic compiler chokes
 # on large kernel bodies; 8^3 = 4 sub-rows keeps the per-field tree tiny).
-REGION_CELLS = (8, 8, 8)
+REGION_CELLS = (16, 16, 16)
 _RC = REGION_CELLS[0] * REGION_CELLS[1] * REGION_CELLS[2]
 _SUBROWS = max(1, _RC // 128)
 
@@ -175,7 +175,8 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
         pend0 = jnp.where(act & in_grid0, region_of(lx0, ly0, lz0), -1)
 
         def phase_body(_, st):
-            (pending, t_cur, ncode, found, out_t, out_addr) = st
+            (pending, t_cur, ncode, found_ph, out_t, out_addr) = st
+            found = found_ph != 0
             live = pending >= 0
             # the tile's region this phase: the region of the LEAST-ADVANCED
             # live lane (min t). Serving march-order guarantees progress of
@@ -193,6 +194,9 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             dma.wait()
 
             mine = live & (pending == rid)
+            # NOTE: loop carries must not be bool — bool carries alongside
+            # shuffle lookups crash the remote Mosaic compiler (bisected);
+            # running/in_brick/found travel as int32 0/1 masks.
             # region box in cell coords
             r_y = rid // (nz * nx)
             r_z = (rid // nx) % nz
@@ -222,10 +226,13 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             running = mine
 
             def step_body(_, ss):
-                (running, in_brick, t_base, tv, sx, sy, sz, lx, ly, lz,
+                (running_i, in_brick_i, t_base, tv, sx, sy, sz, lx, ly, lz,
                  bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
                  occ_lo, occ_hi, dml, dmh, mat_start, ncode,
-                 found, out_t, out_addr, pending, t_cur) = ss
+                 found_i, out_t, out_addr, pending, t_cur) = ss
+                running = running_i != 0
+                in_brick = in_brick_i != 0
+                found = found_i != 0
 
                 g = running & ~in_brick
                 in_region = ((lx >= bx0) & (lx < bx0 + rx)
@@ -255,10 +262,8 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                 occ_hi = jnp.where(enter, _lookup(scratch[2], local)
                                    .astype(jnp.uint32), occ_hi)
                 dist = _lookup(scratch[3], local)
-                dml = jnp.where(enter, _lookup(scratch[4], local)
-                                .astype(jnp.uint32), dml)
-                dmh = jnp.where(enter, _lookup(scratch[5], local)
-                                .astype(jnp.uint32), dmh)
+                # dielectric fields (scratch[4:7]) are not consumed here:
+                # this kernel serves ignore-free rays only
                 mat_start = jnp.where(enter, start_raw & jnp.int32(0x7FFFFFFF),
                                       mat_start)
 
@@ -354,24 +359,35 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                 lz = jnp.where(do_skip, rlz, lz)
                 tv = jnp.where(do_skip, F(0.0), tv)
 
-                return (running, in_brick, t_base, tv, sx, sy, sz, lx, ly, lz,
+                return (running.astype(jnp.int32), in_brick.astype(jnp.int32),
+                        t_base, tv, sx, sy, sz, lx, ly, lz,
                         bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
                         occ_lo, occ_hi, dml, dmh, mat_start, ncode,
-                        found, out_t, out_addr, pending, t_cur)
+                        found.astype(jnp.int32), out_t, out_addr, pending, t_cur)
 
-            ss = (running, in_brick, t_base, tv, sx, sy, sz, lx, ly, lz,
+            ss = (running.astype(jnp.int32), in_brick.astype(jnp.int32),
+                  t_base, tv, sx, sy, sz, lx, ly, lz,
                   bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
                   occ_lo, occ_hi, dml, dmh, mat_start, ncode,
-                  found, out_t, out_addr, pending, t_cur)
-            # NOTE (hardware findings): the remote Mosaic compiler handles
-            # this fori at steps_per_phase=1 but crashes for larger bounds
-            # (it appears to unroll constant-bound fori loops), and crashes
-            # on a while_loop form even at 1 step. Bisecting/shrinking the
-            # body is the first round-2 task; the kernel is interpret-exact.
-            ss = jax.lax.fori_loop(0, steps_per_phase, step_body, ss)
-            (running, _, t_base, tv, _, _, _, lx, ly, lz,
+                  found.astype(jnp.int32), out_t, out_addr, pending, t_cur)
+            # while_loop with early exit: crashes observed earlier were the
+            # BOOL loop carries (bisected); with int32 mask carries both
+            # loops compile on hardware
+            def step_cond(ss_k):
+                ss, k = ss_k
+                return (k < steps_per_phase) & jnp.any(ss[0] != 0)
+
+            def step_wrap(ss_k):
+                ss, k = ss_k
+                return (step_body(k, ss), k + 1)
+
+            ss, _ = jax.lax.while_loop(step_cond, step_wrap,
+                                       (ss, jnp.int32(0)))
+            (running_i, _, t_base, tv, _, _, _, lx, ly, lz,
              _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
-             found, out_t, out_addr, pending, t_cur) = ss
+             found_i, out_t, out_addr, pending, t_cur) = ss
+            running = running_i != 0
+            found = found_i != 0
             # lanes still running when the phase budget ends: park in place
             exit_t = t_base + F(1e-4) * scale + tv
             pending = jnp.where(running, region_of(
@@ -379,14 +395,24 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                 jnp.clip(lz, 0, dim_z - 1)), pending)
             # budget park: re-init will re-check the current cell (idempotent)
             t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
-            return (pending, t_cur, ncode, found, out_t, out_addr)
+            return (pending, t_cur, ncode, found.astype(jnp.int32),
+                    out_t, out_addr)
 
         st = (pend0, t0_in, slab_code,
-              jnp.zeros(ox.shape, jnp.bool_), jnp.zeros_like(ox),
+              jnp.zeros(ox.shape, jnp.int32), jnp.zeros_like(ox),
               jnp.zeros(ox.shape, jnp.int32))
-        st = jax.lax.fori_loop(0, max_phases, phase_body, st)
-        pending, t_cur, ncode, found, out_t, out_addr = st
-        found_ref[:] = found.astype(jnp.int32)
+
+        def phase_cond(st_k):
+            st, k = st_k
+            return (k < max_phases) & jnp.any(st[0] >= 0)
+
+        def phase_wrap(st_k):
+            st, k = st_k
+            return (phase_body(k, st), k + 1)
+
+        st, _ = jax.lax.while_loop(phase_cond, phase_wrap, (st, jnp.int32(0)))
+        pending, t_cur, ncode, found_i, out_t, out_addr = st
+        found_ref[:] = found_i
         t_ref[:] = out_t
         ncode_ref[:] = ncode
         addr_ref[:] = out_addr
