@@ -95,3 +95,37 @@ def test_region_march_matches_xla(origin):
     both = f_r & f_g
     np.testing.assert_allclose(np.asarray(got["t"])[both],
                                np.asarray(ref["t"])[both], atol=5e-2)
+
+
+def test_engine_with_pallas_tile_tracer():
+    """Engine renders via the region tracer (interpret mode on CPU) and
+    matches the XLA path closely."""
+    from zig_vulkan_tpu.config import (
+        CameraConfig, DenoiserConfig, EngineConfig, SunConfig, TraceConfig)
+    from zig_vulkan_tpu.engine.engine import VoxelRT
+    from zig_vulkan_tpu.core.materials import terrain_materials
+
+    grid, mats = multi_region_scene()
+    # tiny render (1 tile per band) for interpret-mode speed
+    cfg = EngineConfig(
+        internal_resolution_width=32, internal_resolution_height=32,
+        camera=CameraConfig(origin=(16.0, 25.0, 70.0), samples_per_pixel=1,
+                            max_bounce=0),
+        sun=SunConfig(enabled=False), denoiser=DenoiserConfig(enabled=False),
+        trace=TraceConfig(row_bands=1, use_pallas=True))
+    rt = VoxelRT(grid, mats, cfg)
+    assert rt._tile_tracer_compatible()
+    img_pallas = np.asarray(rt.render())
+
+    grid2, mats2 = multi_region_scene()
+    cfg2 = EngineConfig(
+        internal_resolution_width=32, internal_resolution_height=32,
+        camera=CameraConfig(origin=(16.0, 25.0, 70.0), samples_per_pixel=1,
+                            max_bounce=0),
+        sun=SunConfig(enabled=False), denoiser=DenoiserConfig(enabled=False),
+        trace=TraceConfig(row_bands=1, use_pallas=False))
+    rt2 = VoxelRT(grid2, mats2, cfg2)
+    img_xla = np.asarray(rt2.render())
+
+    diff = np.abs(img_pallas - img_xla).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.01

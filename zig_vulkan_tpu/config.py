@@ -83,7 +83,10 @@ class TraceConfig:
 
     max_steps: int = 768
     rays_per_batch: int = 4 * 1024 * 1024
-    use_pallas: bool = False  # experimental Pallas tile tracer
+    # route ignore-free traversals (primary rays, shadows) through the
+    # Pallas coherent-tile region tracer (ops.tile_tracer) when the grid is
+    # compatible; interpret mode on CPU, compiled on TPU
+    use_pallas: bool = False
     # empty-space skipping via the Chebyshev distance field: semantically
     # hit-equivalent, but float re-derivation of the DDA cursor after a
     # jump can flip grazing-voxel outcomes in rare cases; disable for

@@ -104,16 +104,23 @@ class VoxelRT:
         """Trace+(accumulate)+postprocess jitted for one static config."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_samples, dn_pixel_multiplier, max_steps,
-         empty_skip, temporal, row_bands) = key
+         empty_skip, temporal, row_bands, use_pallas) = key
         static = self.grid_static
 
         def step(arrays, tables, mats, cam, sun_position, sun_color,
                  sun_radius, dn_bias, dn_hue, accum, n_accum, sample_base):
+            region_blocks = None
+            if use_pallas:
+                from ..ops.tile_tracer import build_region_tables
+
+                region_blocks = build_region_tables(static, arrays, tables)
             img = trace_mod.render_rows(
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
                 sun_position, sun_color, sun_radius, sun_enabled,
                 max_steps=max_steps, tables=tables, use_skip=empty_skip,
-                sample_base=sample_base, row_bands=row_bands)
+                sample_base=sample_base, row_bands=row_bands,
+                region_blocks=region_blocks,
+                tile_interpret=jax.default_backend() == "cpu")
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (n_accum + F(1.0))
@@ -129,6 +136,11 @@ class VoxelRT:
 
         return jax.jit(step, donate_argnums=(9,))
 
+    def _tile_tracer_compatible(self) -> bool:
+        from ..ops.tile_tracer import compatible
+
+        return compatible(self.grid_static)
+
     def _step_key(self):
         iw, ih = self.internal_resolution
         ow, oh = self.output_resolution
@@ -140,7 +152,9 @@ class VoxelRT:
                 int(self.trace_config.max_steps),
                 bool(self.trace_config.empty_skip),
                 bool(self.temporal_enabled),
-                int(self.trace_config.row_bands))
+                int(self.trace_config.row_bands),
+                bool(self.trace_config.use_pallas
+                     and self._tile_tracer_compatible()))
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""

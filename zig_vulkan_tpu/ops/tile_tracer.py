@@ -459,3 +459,70 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
       reshape(t_base), reshape(active.astype(jnp.int32)))
     return dict(found=found.reshape(n) != 0, t=t.reshape(n),
                 ncode=ncode.reshape(n), mat_addr=addr.reshape(n))
+
+
+def compatible(static: GridStatic) -> bool:
+    """Whether the region tracer can serve this grid."""
+    ry, rz, rx = REGION_CELLS
+    return (static.dim_y % ry == 0 and static.dim_z % rz == 0
+            and static.dim_x % rx == 0
+            and static.brick_alloc * 64 < (1 << 31))
+
+
+def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
+                   ox, oy, oz, dx, dy, dz, active,
+                   max_phases: int = 64, steps_per_phase: int = 48,
+                   interpret: bool = False):
+    """grid_hit-compatible wrapper over the region tracer (SoA outputs).
+
+    Serves ignore-free rays only (primary, shadows, lambertian/metal
+    bounces). Pads the wavefront to a TILE multiple internally.
+    """
+    n = ox.shape[0]
+    pad = (-n) % TILE
+
+    def p(a, v=0.0):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,), v, a.dtype)])
+
+    gx0, gy0, gz0 = (F(v) for v in static.min_point)
+    gx1, gy1, gz1 = (F(v) for v in static.max_point)
+    ix = jnp.where(dx == 0.0, F(1e12), F(1.0) / dx)
+    iy = jnp.where(dy == 0.0, F(1e12), F(1.0) / dy)
+    iz = jnp.where(dz == 0.0, F(1e12), F(1.0) / dz)
+    tmin = jnp.maximum(jnp.minimum((gx0 - ox) * ix, (gx1 - ox) * ix),
+                       jnp.maximum(jnp.minimum((gy0 - oy) * iy, (gy1 - oy) * iy),
+                                   jnp.minimum((gz0 - oz) * iz, (gz1 - oz) * iz)))
+    tmax = jnp.minimum(jnp.maximum((gx0 - ox) * ix, (gx1 - ox) * ix),
+                       jnp.minimum(jnp.maximum((gy0 - oy) * iy, (gy1 - oy) * iy),
+                                   jnp.maximum((gz0 - oz) * iz, (gz1 - oz) * iz)))
+    t_base = jnp.maximum(F(1e-5), tmin)
+    ok = active & (t_base <= tmax)
+
+    out = trace_tiles_regions(
+        static, region_blocks,
+        p(ox), p(oy), p(oz), p(dx, 1.0), p(dy), p(dz),
+        p(t_base), p(ok.astype(jnp.float32)).astype(jnp.bool_)
+        if pad else ok,
+        max_phases=max_phases, steps_per_phase=steps_per_phase,
+        interpret=interpret)
+
+    found = out["found"][:n]
+    t = out["t"][:n]
+    code = out["ncode"][:n]
+    sign = jnp.where(code < 4, F(1.0), F(-1.0))
+    axis = code & 3
+    nx_ = jnp.where(axis == 0, sign, F(0.0))
+    ny_ = jnp.where(axis == 1, sign, F(0.0))
+    nz_ = jnp.where(axis == 2, sign, F(0.0))
+    t_off = F(static.scale / _BD) * F(0.05)
+    px = ox + dx * t + nx_ * t_off
+    py = oy + dy * t + ny_ * t_off
+    pz = oz + dz * t + nz_ * t_off
+    addr = jnp.clip(out["mat_addr"][:n], 0,
+                    arrays.material_indices.shape[0] - 1)
+    index = arrays.material_indices[
+        jnp.where(found, addr, 0)].astype(jnp.int32)
+    return dict(found=found, t=t, px=px, py=py, pz=pz,
+                nx=nx_, ny=ny_, nz=nz_, index=index)

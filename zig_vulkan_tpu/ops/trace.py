@@ -602,10 +602,27 @@ def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
 
 def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    sun_position, sun_enabled, sun_color, sun_radius,
-                   max_steps, tables=None, use_skip=False):
+                   max_steps, tables=None, use_skip=False,
+                   region_blocks=None, tile_interpret=False):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
+
+    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask):
+        """Ignore-free traversal: the Pallas region tracer when enabled,
+        else the XLA wavefront."""
+        if region_blocks is not None:
+            from .tile_tracer import grid_hit_tiles
+
+            return grid_hit_tiles(static, arrays, region_blocks,
+                                  hox, hoy, hoz, hdx, hdy, hdz, mask,
+                                  interpret=tile_interpret)
+        return _grid_hit_soa(static, arrays, mats, hox, hoy, hoz,
+                             hdx, hdy, hdz, jnp.float32(jnp.inf),
+                             jnp.full(n, MAT_NONE, dtype=jnp.int32),
+                             jnp.ones(n, dtype=F), mask, max_steps,
+                             tables, use_skip, bounded_t=False,
+                             needs_ignore=False)
     dx, dy, dz = _norm3(dx, dy, dz)
     cr = jnp.zeros(n, dtype=F)
     cg = jnp.zeros(n, dtype=F)
@@ -624,12 +641,14 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
 
     for bounce_i in range(max_bounce):
         # dielectric-skip state can only exist after a refraction, so the
-        # first bounce (and all shadow rays) take the deferred-material
-        # fast path (needs_ignore=False)
-        h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
-                          inf, ignore_type, internal_refl, bouncing, max_steps,
-                          tables, use_skip, bounded_t=False,
-                          needs_ignore=(bounce_i > 0))
+        # first bounce (and all shadow rays) take the ignore-free fast path
+        if bounce_i == 0:
+            h = hit_ignore_free(ox, oy, oz, dx, dy, dz, bouncing)
+        else:
+            h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
+                              inf, ignore_type, internal_refl, bouncing,
+                              max_steps, tables, use_skip, bounded_t=False,
+                              needs_ignore=True)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -712,10 +731,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             shy = sun_position[1] + sy_ - py
             shz = sun_position[2] + sz_ - pz
             shx, shy, shz = _norm3(shx, shy, shz)
-            sh = _grid_hit_soa(static, arrays, mats, px, py, pz, shx, shy, shz,
-                               inf, jnp.full(n, MAT_NONE, dtype=jnp.int32),
-                               jnp.ones(n, dtype=F), active, max_steps, tables,
-                               use_skip, bounded_t=False, needs_ignore=False)
+            sh = hit_ignore_free(px, py, pz, shx, shy, shz, active)
             lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
@@ -811,7 +827,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 sun_position, sun_color, sun_radius, sun_enabled: bool,
                 row0=0, rows: int | None = None, max_steps: int = 768,
                 tables=None, use_skip: bool = False, sample_base=0.0,
-                row_bands: int = 1):
+                row_bands: int = 1, region_blocks=None,
+                tile_interpret: bool = False):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -838,7 +855,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
                 jnp.asarray(sun_position, dtype=F), sun_enabled,
                 jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
-                max_steps, tables, use_skip)
+                max_steps, tables, use_skip, region_blocks, tile_interpret)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 
