@@ -17,6 +17,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libzvtgrid.so gridbuilder.cpp -lpthread
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -45,7 +46,8 @@ struct Grid {
 
   std::atomic<uint32_t> active_bricks{0};
   std::atomic<uint32_t> material_cursor{0};
-  // per-cell allocation latch: 0 = free, 1 = allocating, 2 = done
+  // per-cell allocation latch: 0 = free, 1 = allocating, 2 = done,
+  // 3 = allocation failed (terminal: waiters error out instead of spinning)
   std::vector<std::atomic<uint8_t>> cell_latch;
 
   Grid(uint32_t dx, uint32_t dy, uint32_t dz, uint64_t alloc)
@@ -90,7 +92,12 @@ struct Grid {
       if (cell_latch[cell].compare_exchange_strong(expected, 1,
                                                    std::memory_order_acq_rel)) {
         brick = active_bricks.fetch_add(1, std::memory_order_relaxed);
-        if (brick >= brick_alloc) return false;  // allocation exhausted
+        if (brick >= brick_alloc) {
+          // exhausted: publish the terminal latch state so concurrent
+          // waiters on this cell stop spinning and error out too
+          cell_latch[cell].store(3, std::memory_order_release);
+          return false;
+        }
         indices[cell].store(brick, std::memory_order_release);
         const uint32_t start =
             material_cursor.fetch_add(kBrickBits, std::memory_order_relaxed);
@@ -98,8 +105,10 @@ struct Grid {
         statuses[word].fetch_or(1u << bit, std::memory_order_release);
         cell_latch[cell].store(2, std::memory_order_release);
       } else {
-        while (cell_latch[cell].load(std::memory_order_acquire) != 2) {
+        uint8_t state;
+        while ((state = cell_latch[cell].load(std::memory_order_acquire)) == 1) {
         }
+        if (state != 2) return false;  // allocation failed on another thread
         brick = indices[cell].load(std::memory_order_acquire);
       }
     }
@@ -245,7 +254,9 @@ void zvt_export(void* gp, uint32_t* statuses, uint32_t* indices, uint32_t* occup
   for (size_t i = 0; i < g.occupancy.size(); ++i) occupancy[i] = g.occupancy[i].load();
   for (size_t i = 0; i < g.starts.size(); ++i) starts[i] = g.starts[i].load();
   for (size_t i = 0; i < g.materials.size(); ++i) materials[i] = g.materials[i].load();
-  counters[0] = g.active_bricks.load();
+  // after an exhaustion failure the fetch_add may have pushed the counter
+  // past capacity; clamp so the exported count stays a valid brick count
+  counters[0] = std::min<uint32_t>(g.active_bricks.load(), uint32_t(g.brick_alloc));
   counters[1] = g.material_cursor.load();
 }
 

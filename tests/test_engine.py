@@ -162,3 +162,27 @@ def test_set_resolutions_rescale():
     np.testing.assert_allclose(rt.camera.d_camera.origin, origin_before)
     assert len(rt._step_cache) == 2  # old + new static config
     assert rt.metrics.rays_per_frame == 48 * 32 * 1
+
+
+def test_insert_overflow_raises():
+    """ADVICE r1: apply_edits drops overflowing scatters silently; the
+    engine must surface exhaustion as an error instead."""
+    import pytest
+
+    from zig_vulkan_tpu.config import GridConfig
+    from zig_vulkan_tpu.core.grid import BrickGrid
+    from zig_vulkan_tpu.core.materials import terrain_materials
+
+    grid = BrickGrid(8, 8, 8, GridConfig(brick_alloc=2))
+    mats = terrain_materials()
+    grid.attach_materials(mats)
+    grid.insert(0, 0, 0, 1)  # one brick used on host
+    cfg = EngineConfig(
+        internal_resolution_width=32, internal_resolution_height=24,
+        camera=CameraConfig(samples_per_pixel=1, max_bounce=0),
+        sun=SunConfig(enabled=False), denoiser=DenoiserConfig(enabled=False))
+    rt = VoxelRT(grid, mats, cfg)
+    rt.insert_voxels(np.asarray([[8, 8, 8]]), np.asarray([1], np.uint8))
+    with pytest.raises(MemoryError):
+        rt.insert_voxels(np.asarray([[16, 16, 16], [24, 24, 24]]),
+                         np.asarray([1, 1], np.uint8))

@@ -56,3 +56,25 @@ def test_out_of_bounds_rejected():
     ok = nat.insert_batch([999], [0], [0], np.asarray([1], np.uint8))
     assert ok == 0
     nat.finish()
+
+
+def test_brick_exhaustion_does_not_hang():
+    """ADVICE r1: on allocation exhaustion, waiters on the same cell must
+    error out (terminal latch state) instead of spinning forever."""
+    # capacity for exactly 1 brick; inserts span 3 cells, many voxels per
+    # cell so multiple threads contend on the losing cells
+    nat = NativeGridBuilder(4, 4, 4, GridConfig(brick_alloc=1,
+                                                workers_count=4))
+    xs, ys, zs, ms = [], [], [], []
+    for cx in (0, 4, 8):  # 3 distinct cells
+        for v in range(16):
+            xs.append(cx + v % 4)
+            ys.append(0)
+            zs.append(v // 4)
+            ms.append(1)
+    ok = nat.insert_batch(np.asarray(xs), np.asarray(ys), np.asarray(zs),
+                          np.asarray(ms, np.uint8))
+    # exactly one cell's worth of inserts can succeed
+    assert ok == 16, ok
+    got = nat.finish()
+    assert int(got.arrays.active_bricks) == 1

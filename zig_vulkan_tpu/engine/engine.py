@@ -85,6 +85,12 @@ class VoxelRT:
         self._step_cache = {}
         self._edit_step = None
         self._remove_step = None
+        # conservative host-side brick-count bound: apply_edits drops
+        # overflowing scatters silently (mode='drop'), so insert_voxels
+        # raises BEFORE an edit batch could exhaust the allocation — without
+        # a per-batch device sync (the bound only triggers a real device
+        # read when it crosses capacity)
+        self._bricks_upper = int(grid.arrays.active_bricks)
         self._tables = None
         self._dist = None
         self._tables_fn = jax.jit(trace_mod.build_trace_tables, static_argnums=0)
@@ -226,6 +232,7 @@ class VoxelRT:
         supported resync path, e.g. after large host-side rebuilds)."""
         assert grid.static == self.grid_static, "grid geometry must match"
         self.arrays = grid.device_arrays()
+        self._bricks_upper = int(grid.arrays.active_bricks)
         self._tables = None
         self._dist = None
 
@@ -291,6 +298,18 @@ class VoxelRT:
         xyz = np.atleast_2d(np.asarray(xyz, dtype=np.int32))
         mats = np.asarray(material_index, dtype=np.uint8).ravel()
         n = xyz.shape[0]
+        # capacity guard: each distinct touched cell can allocate one brick
+        st = self.grid_static
+        cells = np.unique(
+            xyz[:, 0] // 4 + st.dim_x * (xyz[:, 2] // 4
+                                         + st.dim_z * (xyz[:, 1] // 4))).size
+        if self._bricks_upper + cells > st.brick_alloc:
+            self._bricks_upper = int(jax.device_get(self.arrays.active_bricks))
+            if self._bricks_upper + cells > st.brick_alloc:
+                raise MemoryError(
+                    f"brick allocation exhausted: {self._bricks_upper} active "
+                    f"+ up to {cells} new > brick_alloc={st.brick_alloc}")
+        self._bricks_upper += cells
         size = self._padded(n)
         pad_xyz = np.zeros((size, 3), dtype=np.int32)
         pad_xyz[:n] = xyz

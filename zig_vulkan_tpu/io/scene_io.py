@@ -74,4 +74,7 @@ def load_scene(path: str) -> Tuple[BrickGrid, MaterialTable]:
         albedo=z["mat_albedo"].copy(),
         type_data=z["mat_type_data"].copy(),
     )
+    # re-register the material classification so host insert_batch after a
+    # load keeps maintaining diel_mask/brick_ir (the same-dielectric skip)
+    grid.attach_materials(materials)
     return grid, materials

@@ -157,10 +157,11 @@ def hash32(p, xp=np):
     z = fract(px * _F32(0.0973), xp=xp)
     d = x * (y + _F32(33.33)) + y * (x + _F32(33.33)) + z * (z + _F32(33.33))
     x, y, z = x + d, y + d, z + d
+    # fract((p3.xxy + p3.yzz) * p3.zyx) = ((x+y)z, (x+z)y, (y+z)x)
     return xp.stack(
         [
-            fract((x + x) * z, xp=xp),
-            fract((x + y) * y, xp=xp),
+            fract((x + y) * z, xp=xp),
+            fract((x + z) * y, xp=xp),
             fract((y + z) * x, xp=xp),
         ],
         axis=-1,
