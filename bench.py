@@ -13,6 +13,9 @@ host round-trips cost hundreds of ms, so each frame chains a scalar checksum
 through the next dispatch and ONE host read at the end syncs the whole run.
 Frames vary the camera origin along the benchmark fly-through path so no
 two dispatches are identical.
+
+Round 2: the measured path is the production Pallas coherent-tile region
+tracer (ops.tile_tracer), the engine default on TPU.
 """
 
 from __future__ import annotations
@@ -56,7 +59,6 @@ def main() -> None:
     from zig_vulkan_tpu.ops import trace as tt
 
     width, height = 1920, 1080
-    max_steps = 160  # primary rays on the default scene converge by ~96
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     baseline_mrays_per_chip = 125.0  # 1 Gray/s on v5e-8 (BASELINE.json)
 
@@ -68,36 +70,30 @@ def main() -> None:
 
     import jax as _jax
 
+    from zig_vulkan_tpu.ops import tile_tracer as tl
+
     arrays = sc.grid.device_arrays()
     mats = tt.materials_to_device(sc.materials)
     static = sc.grid.static
     tables = _jax.jit(tt.build_trace_tables, static_argnums=0)(static, arrays)
+    blocks = _jax.jit(tl.build_region_tables, static_argnums=0)(
+        static, arrays, tables)
     cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
     cv = tt.camera_vectors(cam.d_camera)
-
-    bands = 8
-    band_rows = height // bands
 
     @jax.jit
     def frame(acc, origin):
         cam2 = dict(cv)
         cam2["origin"] = origin
-
-        def band(r0):
-            o, d = tt.camera_rays(cam2, width, height, 0, row0=r0,
-                                  rows=band_rows)
-            d = d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
-            n = o.shape[0]
-            h = tt.grid_hit(static, arrays, mats, o, d, jnp.float32(np.inf),
-                            jnp.full(n, 3, jnp.int32),
-                            jnp.ones(n, jnp.float32),
-                            jnp.ones(n, jnp.bool_), max_steps=max_steps,
-                            tables=tables, use_skip=True, needs_ignore=False)
-            return jnp.sum(h["t"])
-        r0s = (jnp.arange(bands) * band_rows).astype(jnp.float32)
-        vals = jax.lax.map(band, r0s)
+        ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cam2, width, height, 0)
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv, dy * inv, dz * inv
+        ox = ox + acc * 0.0  # chain the previous frame into this dispatch
+        h = tl.grid_hit_tiles(static, arrays, blocks, ox, oy, oz, dx, dy, dz,
+                              jnp.ones(ox.shape[0], jnp.bool_))
         # scalar checksum chains the dependency into the next frame
-        return acc + jnp.sum(vals) * jnp.float32(1e-9) + jnp.float32(1.0)
+        return (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
+                + jnp.float32(1.0))
 
     # camera origins along the fly-through path (varied work per frame)
     path = np.asarray(PATH_POINTS, dtype=np.float32)

@@ -186,3 +186,30 @@ def test_insert_overflow_raises():
     with pytest.raises(MemoryError):
         rt.insert_voxels(np.asarray([[16, 16, 16], [24, 24, 24]]),
                          np.asarray([1, 1], np.uint8))
+
+
+def test_incremental_table_refresh_matches_full_rebuild():
+    """insert_voxels/remove_voxels maintain the cached trace tables
+    incrementally (the dirty-range delta analog); the result must equal a
+    from-scratch rebuild."""
+    import jax
+    import jax.numpy as jnp
+    from zig_vulkan_tpu.ops import trace as trace_mod
+
+    rt = small_engine()
+    rt.render()  # builds + caches tables
+    assert rt._tables is not None
+    rng = np.random.default_rng(7)
+    xyz = np.stack([rng.integers(0, 32, 40), rng.integers(0, 32, 40),
+                    rng.integers(0, 32, 40)], axis=-1).astype(np.int32)
+    rt.insert_voxels(xyz, np.full(40, 5, dtype=np.uint8))
+    got = np.asarray(rt._tables)
+    want = np.asarray(trace_mod.build_trace_tables(rt.grid_static, rt.arrays))
+    np.testing.assert_array_equal(got, want)
+
+    rt.remove_voxels(xyz[:17])
+    got = np.asarray(rt._tables)
+    # removals reuse the cached dist; rebuild with the same field
+    want = np.asarray(trace_mod.build_trace_tables(
+        rt.grid_static, rt.arrays, rt._dist))
+    np.testing.assert_array_equal(got, want)

@@ -129,3 +129,89 @@ def test_engine_with_pallas_tile_tracer():
 
     diff = np.abs(img_pallas - img_xla).max(axis=-1)
     assert (diff > 1e-3).mean() < 0.01
+
+
+def dielectric_scene():
+    """Floor + a water slab so refracted rays exercise the in-kernel
+    same-dielectric skip rule (brick_raytracer.comp:427)."""
+    grid = BrickGrid(32, 32, 32, GridConfig(min_point=(0.0, 0.0, 0.0), scale=1.0))
+    mats = terrain_materials()
+    grid.attach_materials(mats)
+    vx, vy, vz = grid.static.voxel_dims
+    xs, zs = np.meshgrid(np.arange(vx), np.arange(vz), indexing="ij")
+    for y in range(3):
+        grid.insert_batch(xs.ravel(), np.full(xs.size, y), zs.ravel(),
+                          np.full(xs.size, 3, dtype=np.uint8))
+    # water volume (material 0: dielectric ir=1.333)
+    wx, wz = np.meshgrid(np.arange(20, 60), np.arange(20, 60), indexing="ij")
+    for y in range(3, 14):
+        grid.insert_batch(wx.ravel(), np.full(wx.size, y), wz.ravel(),
+                          np.full(wx.size, 0, dtype=np.uint8))
+    return grid, mats
+
+
+def test_dielectric_bounces_match_xla():
+    """Full path trace (bounce rays incl. refracted dielectric-skip rays)
+    through the region tracer matches the XLA wavefront."""
+    from zig_vulkan_tpu.ops.tile_tracer import build_region_tables as brt
+
+    grid, mats_t = dielectric_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = brt(st, arrays, tables)
+
+    ro, rd = _rays(st, (16.0, 25.0, 70.0))
+    args = (st, arrays, mats,
+            jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+            jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+            3,                                     # max_bounce
+            jnp.asarray([0.0, 900.0, 0.0], jnp.float32), False,
+            jnp.asarray([1.0, 1.1, 1.0], jnp.float32), jnp.float32(5.0))
+
+    ref = trace._ray_color_soa(*args, 768, tables, True)
+    got = trace._ray_color_soa(*args, 768, tables, True,
+                               region_blocks=blocks, tile_interpret=True)
+    diff = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.01, float((diff > 1e-3).mean())
+
+
+def test_unfinished_lanes_reported_and_retraced():
+    """A starved phase budget must flag lanes as unfinished (not shade them
+    as background), and the render path must re-trace them on the XLA
+    wavefront to the same image (round-1 advisor finding)."""
+    from zig_vulkan_tpu.ops.tile_tracer import build_region_tables as brt
+    from zig_vulkan_tpu.ops.tile_tracer import grid_hit_tiles
+
+    grid, mats_t = multi_region_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = brt(st, arrays, tables)
+
+    ro, rd = _rays(st, (16.0, 25.0, 70.0))
+    n = ro.shape[0]
+    out = grid_hit_tiles(
+        st, arrays, blocks,
+        jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+        jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+        jnp.ones(n, bool), max_phases=1, interpret=True)
+    unf = np.asarray(out["unfinished"])
+    assert unf.any(), "1-phase budget must leave lanes unfinished"
+    assert not (unf & np.asarray(out["found"])).any()
+
+    args = (st, arrays, mats,
+            jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+            jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+            0,
+            jnp.asarray([0.0, 900.0, 0.0], jnp.float32), False,
+            jnp.asarray([1.0, 1.1, 1.0], jnp.float32), jnp.float32(5.0))
+    ref = trace._ray_color_soa(*args, 768, tables, True)
+    # starved budget: every pixel must still be correct via the fallback
+    got = trace._ray_color_soa(*args, 768, tables, True,
+                               region_blocks=blocks, tile_interpret=True,
+                               tile_max_phases=1)
+    diff = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.005, float((diff > 1e-3).mean())

@@ -80,6 +80,11 @@ def main(argv=None) -> int:
                    help="run the 60s fly-through and print the report")
     p.add_argument("--benchmark-duration", type=float, default=60.0)
     p.add_argument("--script", choices=["none", "demo"], default="none")
+    p.add_argument("--live", action="store_true",
+                   help="interactive terminal viewer (ANSI half-blocks; "
+                        "WASD+arrows, q quits)")
+    p.add_argument("--live-cols", type=int, default=120)
+    p.add_argument("--live-rows", type=int, default=40)
     p.add_argument("--profile", type=str, default=None,
                    help="capture a jax.profiler trace to this dir")
     args = p.parse_args(argv)
@@ -93,6 +98,15 @@ def main(argv=None) -> int:
     ctx = (profiling.trace_session(args.profile) if args.profile
            else _null_ctx())
     with ctx:
+        if args.live:
+            from .live import LiveViewer
+
+            viewer = LiveViewer(rt, max_cols=args.live_cols,
+                                max_rows=args.live_rows)
+            n = viewer.run(max_frames=args.frames or None)
+            print(f"live session ended after {n} frames; "
+                  f"metrics: {rt.metrics.summary()}", file=sys.stderr)
+            return 0
         if args.benchmark:
             bench = rt.run_benchmark(duration=args.benchmark_duration,
                                      max_frames=args.frames or None)

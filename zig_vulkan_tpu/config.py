@@ -83,10 +83,13 @@ class TraceConfig:
 
     max_steps: int = 768
     rays_per_batch: int = 4 * 1024 * 1024
-    # route ignore-free traversals (primary rays, shadows) through the
-    # Pallas coherent-tile region tracer (ops.tile_tracer) when the grid is
-    # compatible; interpret mode on CPU, compiled on TPU
-    use_pallas: bool = False
+    # route traversals (all ray classes since round 2) through the Pallas
+    # coherent-tile region tracer (ops.tile_tracer) when the grid is
+    # compatible. None = auto: enabled on TPU (the production path),
+    # disabled on CPU (the kernel only runs interpreted there — correct but
+    # far slower than the XLA wavefront). True forces it on (interpret mode
+    # on CPU — used by tests); False forces the XLA wavefront.
+    use_pallas: Optional[bool] = None
     # empty-space skipping via the Chebyshev distance field: semantically
     # hit-equivalent, but float re-derivation of the DDA cursor after a
     # jump can flip grazing-voxel outcomes in rare cases; disable for

@@ -93,8 +93,14 @@ class VoxelRT:
         self._bricks_upper = int(grid.arrays.active_bricks)
         self._tables = None
         self._dist = None
+        self._blocks = None   # region-major tables for the Pallas tracer
         self._tables_fn = jax.jit(trace_mod.build_trace_tables, static_argnums=0)
         self._dist_fn = jax.jit(trace_mod.distance_field, static_argnums=0)
+        self._blocks_fn = None
+        self._refresh_insert_fn = jax.jit(
+            trace_mod.refresh_tables_after_insert, static_argnums=0)
+        self._refresh_remove_fn = jax.jit(
+            trace_mod.refresh_tables_after_remove, static_argnums=0)
 
         # temporal accumulation (superset; BASELINE config 4): running
         # average of traced frames while the camera/sun pose is static,
@@ -113,13 +119,11 @@ class VoxelRT:
          empty_skip, temporal, row_bands, use_pallas) = key
         static = self.grid_static
 
-        def step(arrays, tables, mats, cam, sun_position, sun_color,
-                 sun_radius, dn_bias, dn_hue, accum, n_accum, sample_base):
-            region_blocks = None
-            if use_pallas:
-                from ..ops.tile_tracer import build_region_tables
-
-                region_blocks = build_region_tables(static, arrays, tables)
+        def step(arrays, tables, region_blocks, mats, cam, sun_position,
+                 sun_color, sun_radius, dn_bias, dn_hue, accum, n_accum,
+                 sample_base):
+            if not use_pallas:
+                region_blocks = None
             img = trace_mod.render_rows(
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
                 sun_position, sun_color, sun_radius, sun_enabled,
@@ -140,12 +144,20 @@ class VoxelRT:
                 out = denoise_mod.bilinear_resample(img, oh, ow)
             return out, accum
 
-        return jax.jit(step, donate_argnums=(9,))
+        return jax.jit(step, donate_argnums=(10,))
 
     def _tile_tracer_compatible(self) -> bool:
         from ..ops.tile_tracer import compatible
 
         return compatible(self.grid_static)
+
+    def _use_pallas(self) -> bool:
+        """Resolve TraceConfig.use_pallas (None = auto: TPU only) against
+        grid compatibility."""
+        cfg = self.trace_config.use_pallas
+        if cfg is None:
+            cfg = jax.default_backend() == "tpu"
+        return bool(cfg) and self._tile_tracer_compatible()
 
     def _step_key(self):
         iw, ih = self.internal_resolution
@@ -159,8 +171,7 @@ class VoxelRT:
                 bool(self.trace_config.empty_skip),
                 bool(self.temporal_enabled),
                 int(self.trace_config.row_bands),
-                bool(self.trace_config.use_pallas
-                     and self._tile_tracer_compatible()))
+                self._use_pallas())
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""
@@ -177,6 +188,16 @@ class VoxelRT:
                 self._dist = self._dist_fn(self.grid_static, self.arrays)
             self._tables = self._tables_fn(self.grid_static, self.arrays,
                                            self._dist)
+        use_pallas = key[-1]
+        if use_pallas and self._blocks is None:
+            from ..ops import tile_tracer
+
+            if self._blocks_fn is None:
+                self._blocks_fn = jax.jit(tile_tracer.build_region_tables,
+                                          static_argnums=0)
+            self._blocks = self._blocks_fn(self.grid_static, self.arrays,
+                                           self._tables)
+        blocks = self._blocks if use_pallas else jnp.zeros((1,), dtype=F)
 
         iw, ih = self.internal_resolution
         pose = (tuple(np.asarray(self.camera.d_camera.origin).tolist()),
@@ -195,7 +216,7 @@ class VoxelRT:
                        if self.temporal_enabled else F(0.0))
 
         out, new_accum = step(
-            self.arrays, self._tables, self.mats,
+            self.arrays, self._tables, blocks, self.mats,
             trace_mod.camera_vectors(self.camera.d_camera),
             jnp.asarray(sun.position, dtype=F),
             jnp.asarray(sun.color, dtype=F),
@@ -235,6 +256,7 @@ class VoxelRT:
         self._bricks_upper = int(grid.arrays.active_bricks)
         self._tables = None
         self._dist = None
+        self._blocks = None
 
     def push_materials(self, materials: MaterialTable) -> None:
         """Replace the material table (VoxelRT.zig:85-88)."""
@@ -284,6 +306,13 @@ class VoxelRT:
 
     _EDIT_PAD = 1024
 
+    def _cells_of(self, xyz: np.ndarray) -> np.ndarray:
+        """Grid cell ids (Y-flipped, Grid.zig:135/:206-211) for a batch."""
+        st = self.grid_static
+        fy = (st.voxel_dims[1] - 1) - xyz[:, 1]
+        return (xyz[:, 0] // 4 + st.dim_x * ((xyz[:, 2] // 4)
+                                             + st.dim_z * (fy // 4))).astype(np.int32)
+
     def _padded(self, n: int) -> int:
         size = self._EDIT_PAD
         while size < n:
@@ -298,18 +327,27 @@ class VoxelRT:
         xyz = np.atleast_2d(np.asarray(xyz, dtype=np.int32))
         mats = np.asarray(material_index, dtype=np.uint8).ravel()
         n = xyz.shape[0]
-        # capacity guard: each distinct touched cell can allocate one brick
+        # capacity guard: each distinct touched cell can allocate at most
+        # one brick; apply_edits drops overflowing scatters silently
+        # (mode='drop'), so raise BEFORE a batch could exhaust the
+        # allocation. The cheap bound assumes every touched cell is new;
+        # only when it trips do we pay a device read for the precise count
+        # (which cells are actually unloaded).
         st = self.grid_static
-        cells = np.unique(
-            xyz[:, 0] // 4 + st.dim_x * (xyz[:, 2] // 4
-                                         + st.dim_z * (xyz[:, 1] // 4))).size
-        if self._bricks_upper + cells > st.brick_alloc:
-            self._bricks_upper = int(jax.device_get(self.arrays.active_bricks))
-            if self._bricks_upper + cells > st.brick_alloc:
+        uniq_cells = np.unique(self._cells_of(xyz))
+        if self._bricks_upper + uniq_cells.size > st.brick_alloc:
+            statuses = np.asarray(jax.device_get(self.arrays.statuses))
+            loaded = (statuses[uniq_cells // 32]
+                      >> (uniq_cells % 32).astype(np.uint32)) & 1
+            actually_new = int((loaded == 0).sum())
+            active = int(jax.device_get(self.arrays.active_bricks))
+            if active + actually_new > st.brick_alloc:
                 raise MemoryError(
-                    f"brick allocation exhausted: {self._bricks_upper} active "
-                    f"+ up to {cells} new > brick_alloc={st.brick_alloc}")
-        self._bricks_upper += cells
+                    f"brick allocation exhausted: {active} active "
+                    f"+ {actually_new} new > brick_alloc={st.brick_alloc}")
+            self._bricks_upper = active + actually_new
+        else:
+            self._bricks_upper += uniq_cells.size
         size = self._padded(n)
         pad_xyz = np.zeros((size, 3), dtype=np.int32)
         pad_xyz[:n] = xyz
@@ -325,8 +363,14 @@ class VoxelRT:
             jnp.asarray(pad_mat), jnp.asarray(valid),
             jnp.asarray(self.materials_host.mtype == 2),
             jnp.asarray(self.materials_host.type_data))
-        self._tables = None  # traversal records now stale
-        self._dist = None    # inserts can allocate bricks
+        if self._tables is not None:
+            # incremental maintenance (the reference's dirty-range delta
+            # protocol, State.zig:14-57): scatter the touched cells' rows
+            # + refresh the skip-distance lane; no full table rebuild
+            self._tables, self._dist = self._refresh_insert_fn(
+                self.grid_static, self.arrays, self._tables,
+                jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid))
+        self._blocks = None  # region-major reorder redone lazily
 
     def remove_voxels(self, xyz) -> None:
         """Functional voxel removal (superset; BASELINE config 3)."""
@@ -343,8 +387,13 @@ class VoxelRT:
         self.arrays = self._remove_step(
             self.grid_static, self.arrays, jnp.asarray(pad_xyz),
             jnp.asarray(valid))
-        self._tables = None  # records stale; removals never free bricks,
-        # so the cached skip field stays valid (statuses untouched)
+        if self._tables is not None:
+            # removals never free bricks (statuses untouched), so the
+            # cached skip field stays valid; only touched rows change
+            self._tables = self._refresh_remove_fn(
+                self.grid_static, self.arrays, self._tables, self._dist,
+                jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid))
+        self._blocks = None
 
     # -- benchmark (reference VoxelRT.createBenchmark, VoxelRT.zig:72-74) --------
 

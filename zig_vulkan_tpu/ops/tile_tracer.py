@@ -1,37 +1,56 @@
-"""Coherent-tile region-marching tracer (round-2 prototype).
+"""Coherent-tile region-marching tracer (the production TPU kernel).
 
-The production wavefront tracer (ops.trace) pays one XLA gather row per DDA
-step over ALL lanes (~0.1 G lookups/s, scalar-unit bound — see
+The XLA wavefront tracer (ops.trace) pays one XLA gather row per DDA step
+over ALL lanes (~0.1 G lookups/s, scalar-unit bound — see
 docs/DESIGN_NOTES.md). This kernel removes XLA gathers from the hot loop
 entirely by exploiting primary-ray coherence:
 
 - rays are tiled 8x128; a tile marches REGION by region (a region is an
   RCY x RCZ x RCX block of grid cells, default 16^3 = 4096 cells);
-- each phase, the tile picks the minimum pending region among its live
-  lanes, DMAs that region's record block (8 fields x 32 x 128, 128KB) from
-  HBM into VMEM scratch (`pltpu.make_async_copy` with a dynamic region
-  index), and runs the two-level DDA for every lane currently in that
-  region — all lookups are per-sublane 128-lane shuffles over the
-  VMEM-resident block (hardware-validated at ~1.2 G lookups/s);
+- each phase, the tile picks the pending region of its least-advanced live
+  lane (march-order vote), DMAs that region's record block from HBM into
+  VMEM scratch (`pltpu.make_async_copy` with a dynamic region index), and
+  runs the two-level DDA for every lane currently in that region — all
+  lookups are per-sublane 128-lane shuffles over the VMEM-resident block
+  (hardware-validated at ~1.2 G lookups/s);
 - lanes that exit the region record their next region id and stall until
   the tile loads it; hits/misses retire lanes.
+
+Round-2 redesign (the performance story — see docs/DESIGN_NOTES.md):
+
+1. **Packed march field.** Material-window starts are 64-aligned
+   (brick/MaterialAllocator.zig:34-43 hands out 64-entry windows), so the
+   window id and the Chebyshev skip distance pack into ONE int32:
+   `((window + 1) << 6) | dist`, empty cell = high bits zero. A grid march
+   step now costs ONE shuffle tree instead of the round-1 four (start,
+   occ_lo, occ_hi, dist).
+2. **Tile-predicated brick lookups.** Occupancy (and dielectric) words are
+   only needed on brick ENTRY, which is tile-coherent and rare relative to
+   march steps: they run under `lax.cond(jnp.any(enter), ...)` so pure
+   march phases skip them entirely.
+3. **All ray classes.** A `needs_ignore` build variant carries the
+   brick-local dielectric registers (mask words + brick ir) and the
+   per-ray refraction key, evaluating the same-dielectric skip rule
+   (brick_raytracer.comp:427) in-kernel — refracted bounce rays no longer
+   fall back to the gather-bound XLA path.
+4. **Arbitrary grids.** The region volume is padded up to REGION_CELLS
+   multiples with empty records; padded cells are out of grid bounds and
+   never visited, so any grid shape is served.
+5. **Exhaustion honesty.** Lanes still pending when the phase budget runs
+   out are returned with `unfinished=True` so the caller re-traces them on
+   the XLA wavefront instead of silently shading background (round-1
+   advisor finding).
 
 Traversal semantics match ops.trace's skip path (cursor re-derivation from
 t at region entry, Chebyshev skip, brick registers, deferred materials,
 brick-local dielectric rule). Exactness mode is not offered here.
 
-Status: experimental — validated in interpret mode against the XLA tracer
-across multiple camera poses and regions (100% hit agreement). Hardware
-bisection so far (remote Mosaic compiler, no diagnostics): the kernel
-compiles and runs with steps_per_phase=1 (loops elided), but ANY real loop
-around the DDA step body crashes the compiler (fori >= 2 and while_loop
-both), while a fori(64) around a plain 32-shuffle lookup body compiles
-fine — so the trigger is this body's shape (29-wide mixed-dtype carry
-and/or the dynamic-index DMA in the enclosing loop), not code size.
-Round-2 task: shrink the carry / hoist the DMA into XLA-orchestrated
-phases (scalar-prefetch blocks are validated) until the loop compiles.
-All constituent primitives compile and run standalone (shuffle-tree
-lookups at 1.2 G/s, dynamic block DMA — see docs/DESIGN_NOTES.md).
+Hardware-compiler constraints baked in (bisected in round 1, see
+docs/DESIGN_NOTES.md): loop carries must be int32 0/1 masks, never bool —
+bool carries alongside shuffle lookups crash the remote Mosaic compiler.
+
+Reference parity: implements GridHit + BrickHit traversal
+(assets/shaders/brick_raytracer.comp:271-471) for a wavefront of rays.
 """
 
 from __future__ import annotations
@@ -52,46 +71,87 @@ F = jnp.float32
 _BD = BRICK_DIMENSION
 
 TILE_LANES = 128
-TILE_SUBLANES = 8
+# sublanes per ray tile: wider tiles amortize per-phase overhead (DMA,
+# vote, cursor re-init) over more rays at the cost of more divergence in
+# the region vote. ZVT_TILE_SUBLANES overrides for tuning runs.
+TILE_SUBLANES = int(__import__("os").environ.get("ZVT_TILE_SUBLANES", "8"))
 TILE = TILE_SUBLANES * TILE_LANES
 
-# region edge lengths in grid cells (y, z, x). Smaller regions mean more
-# phases but much smaller shuffle trees (the remote Mosaic compiler chokes
-# on large kernel bodies; 8^3 = 4 sub-rows keeps the per-field tree tiny).
-REGION_CELLS = (16, 16, 16)
+# region edge lengths in grid cells (y, z, x); the record block for one
+# region must fit VMEM comfortably (8 fields x _SUBROWS x 128 int32).
+# Larger regions = fewer phases (DMA/vote/re-init overhead) but taller
+# shuffle trees per lookup; 16^3 won the hardware sweep (see
+# docs/DESIGN_NOTES.md). ZVT_REGION_CELLS=y,z,x overrides for tuning runs.
+import os as _os
+
+_rc_env = _os.environ.get("ZVT_REGION_CELLS")
+REGION_CELLS = (tuple(int(v) for v in _rc_env.split(","))
+                if _rc_env else (16, 16, 16))
 _RC = REGION_CELLS[0] * REGION_CELLS[1] * REGION_CELLS[2]
 _SUBROWS = max(1, _RC // 128)
 
+# region-block field indices
+_F_PACKED = 0   # ((material window + 1) << 6) | chebyshev skip dist
+_F_OCC_LO = 1
+_F_OCC_HI = 2
+_F_DML = 3      # dielectric mask word 0
+_F_DMH = 4      # dielectric mask word 1
+_F_IR = 5       # bitcast f32 brick ir (NaN = none/conflict)
+_N_FIELDS = 8   # padded to 8 for DMA-friendly power-of-two blocks
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
 
 def region_grid(static: GridStatic):
-    """Number of regions per axis (y, z, x); grid dims must divide."""
+    """Number of regions per axis (y, z, x); dims are padded up."""
     ry, rz, rx = REGION_CELLS
-    assert static.dim_y % ry == 0 and static.dim_z % rz == 0 \
-        and static.dim_x % rx == 0, "grid dims must divide REGION_CELLS"
-    return static.dim_y // ry, static.dim_z // rz, static.dim_x // rx
+    return _cdiv(static.dim_y, ry), _cdiv(static.dim_z, rz), _cdiv(static.dim_x, rx)
 
 
 def build_region_tables(static: GridStatic, arrays: GridArrays, tables=None):
     """Reorder the per-cell records (cells, 8) into region-major blocks
-    f32-free int32[NR, 8, _SUBROWS, 128]: one DMA-able block per region, each
-    field laid out for 128-lane shuffle lookups."""
+    int32[NR, 8, _SUBROWS, 128]: one DMA-able block per region, each field
+    laid out for 128-lane shuffle lookups. Field 0 packs the material
+    window id with the skip distance (see module docstring); grids whose
+    dims don't divide REGION_CELLS are padded with empty max-skip records
+    (padded cells are outside the DDA's bounds check and never consulted).
+    """
     if tables is None:
         tables = build_trace_tables(static, arrays)
     ny, nz, nx = region_grid(static)
     ry, rz, rx = REGION_CELLS
+
+    start_raw = tables[:, 0]
+    dist = jnp.minimum(tables[:, 3], 63)
+    window_p1 = jnp.where(start_raw == -1, jnp.int32(0),
+                          ((start_raw & jnp.int32(0x7FFFFFFF)) >> 6) + 1)
+    packed = (window_p1 << 6) | dist
+    fields = jnp.stack(
+        [packed, tables[:, 1], tables[:, 2],
+         tables[:, 4], tables[:, 5], tables[:, 6],
+         jnp.zeros_like(packed), jnp.zeros_like(packed)], axis=-1)
+
     # cell index = x + dim_x*(z + dim_z*y)  -> volume (y, z, x, 8)
-    vol = tables.reshape(static.dim_y, static.dim_z, static.dim_x, 8)
-    vol = vol.reshape(ny, ry, nz, rz, nx, rx, 8)
+    vol = fields.reshape(static.dim_y, static.dim_z, static.dim_x, _N_FIELDS)
+    py, pz, px = (ny * ry - static.dim_y, nz * rz - static.dim_z,
+                  nx * rx - static.dim_x)
+    if py or pz or px:
+        vol = jnp.pad(vol, ((0, py), (0, pz), (0, px), (0, 0)),
+                      constant_values=63)  # empty + max skip; never read
+    vol = vol.reshape(ny, ry, nz, rz, nx, rx, _N_FIELDS)
     # -> (regions..., local y, z, x, fields)
     vol = vol.transpose(0, 2, 4, 1, 3, 5, 6)
     # local cell id = lx + rx*(lz + rz*ly); fields major for shuffle lookups
-    blocks = vol.reshape(ny * nz * nx, _RC, 8).transpose(0, 2, 1)
-    return blocks.reshape(ny * nz * nx, 8, _SUBROWS, 128)
+    blocks = vol.reshape(ny * nz * nx, _RC, _N_FIELDS).transpose(0, 2, 1)
+    return blocks.reshape(ny * nz * nx, _N_FIELDS, _SUBROWS, 128)
 
 
 def _lookup(block_field, local_idx):
-    """Shuffle-tree lookup: block_field int32[32,128], local_idx (8,128) in
-    [0, 4096). ~32 shuffles + selects (hardware ~1.2 G lookups/s)."""
+    """Shuffle-tree lookup: block_field int32[_SUBROWS,128], local_idx
+    (8,128) in [0, _RC). ~_SUBROWS shuffles + selects (hardware ~1.2 G
+    lookups/s at 32 subrows)."""
     r = local_idx // 128
     c = local_idx % 128
     val = jnp.zeros(local_idx.shape, jnp.int32)
@@ -102,7 +162,8 @@ def _lookup(block_field, local_idx):
     return val
 
 
-def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
+def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
+                 needs_ignore: bool, predicated: bool = True):
     dim_x, dim_y, dim_z = static.dims
     ny, nz, nx = region_grid(static)
     ry, rz, rx = REGION_CELLS
@@ -111,12 +172,13 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
     voxel_scale = np.float32(static.scale / _BD)
 
     def kernel(blocks_hbm, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tb_ref, act_ref, found_ref, t_ref, ncode_ref, addr_ref,
-               scratch, sem):
+               tb_ref, act_ref, key_ref, found_ref, t_ref, ncode_ref,
+               addr_ref, pend_ref, scratch, sem):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         act = act_ref[:] != 0
         t0_in = tb_ref[:]
+        ray_key = key_ref[:]
 
         ix = jnp.where(dx == 0.0, F(1e12), F(1.0) / dx)
         iy = jnp.where(dy == 0.0, F(1e12), F(1.0) / dy)
@@ -194,9 +256,6 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             dma.wait()
 
             mine = live & (pending == rid)
-            # NOTE: loop carries must not be bool — bool carries alongside
-            # shuffle lookups crash the remote Mosaic compiler (bisected);
-            # running/in_brick/found travel as int32 0/1 masks.
             # region box in cell coords
             r_y = rid // (nz * nx)
             r_z = (rid // nx) % nz
@@ -214,6 +273,7 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             occ_hi = jnp.zeros(t_cur.shape, jnp.uint32)
             dml = jnp.zeros(t_cur.shape, jnp.uint32)
             dmh = jnp.zeros(t_cur.shape, jnp.uint32)
+            brick_key = jnp.full(t_cur.shape, jnp.nan, dtype=F)
             mat_start = jnp.zeros(t_cur.shape, jnp.int32)
             entry_t = jnp.zeros_like(t_cur)
             b_t = jnp.zeros_like(t_cur)
@@ -228,7 +288,7 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             def step_body(_, ss):
                 (running_i, in_brick_i, t_base, tv, sx, sy, sz, lx, ly, lz,
                  bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
-                 occ_lo, occ_hi, dml, dmh, mat_start, ncode,
+                 occ_lo, occ_hi, dml, dmh, brick_key, mat_start, ncode,
                  found_i, out_t, out_addr, pending, t_cur) = ss
                 running = running_i != 0
                 in_brick = in_brick_i != 0
@@ -255,17 +315,36 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
 
                 local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
                 local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
-                start_raw = _lookup(scratch[0], local)
-                enter = g_act & (start_raw != -1)
-                occ_lo = jnp.where(enter, _lookup(scratch[1], local)
-                                   .astype(jnp.uint32), occ_lo)
-                occ_hi = jnp.where(enter, _lookup(scratch[2], local)
-                                   .astype(jnp.uint32), occ_hi)
-                dist = _lookup(scratch[3], local)
-                # dielectric fields (scratch[4:7]) are not consumed here:
-                # this kernel serves ignore-free rays only
-                mat_start = jnp.where(enter, start_raw & jnp.int32(0x7FFFFFFF),
-                                      mat_start)
+                packed = _lookup(scratch[_F_PACKED], local)
+                enter = g_act & (packed >= 64)
+                dist = packed & 63
+                mat_start = jnp.where(
+                    enter, ((packed >> 6) - 1) << 6, mat_start)
+
+                # brick registers: fetched only on entry, which is
+                # tile-coherent and rare relative to march steps
+                def load_brick_regs(args):
+                    o_lo, o_hi, d_lo, d_hi, bkey = args
+                    n_lo = _lookup(scratch[_F_OCC_LO], local).astype(jnp.uint32)
+                    n_hi = _lookup(scratch[_F_OCC_HI], local).astype(jnp.uint32)
+                    o_lo = jnp.where(enter, n_lo, o_lo)
+                    o_hi = jnp.where(enter, n_hi, o_hi)
+                    if needs_ignore:
+                        nd_lo = _lookup(scratch[_F_DML], local).astype(jnp.uint32)
+                        nd_hi = _lookup(scratch[_F_DMH], local).astype(jnp.uint32)
+                        nkey = jax.lax.bitcast_convert_type(
+                            _lookup(scratch[_F_IR], local), F)
+                        d_lo = jnp.where(enter, nd_lo, d_lo)
+                        d_hi = jnp.where(enter, nd_hi, d_hi)
+                        bkey = jnp.where(enter, nkey, bkey)
+                    return o_lo, o_hi, d_lo, d_hi, bkey
+
+                regs = (occ_lo, occ_hi, dml, dmh, brick_key)
+                if predicated:
+                    occ_lo, occ_hi, dml, dmh, brick_key = jax.lax.cond(
+                        jnp.any(enter), load_brick_regs, lambda a: a, regs)
+                else:
+                    occ_lo, occ_hi, dml, dmh, brick_key = load_brick_regs(regs)
 
                 do_skip = g_act & ~enter & (dist >= 2)
                 cur_t = t_base + F(1e-4) * scale + tv
@@ -306,7 +385,16 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                 viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
                 occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
                 occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
-                real_hit = b_act & (occ_bit == 1)
+                vhit = b_act & (occ_bit == 1)
+                if needs_ignore:
+                    # same-material skip (brick_raytracer.comp:427) from the
+                    # brick dielectric registers — NaN keys never match
+                    d_word = jnp.where(viu < 32, dml, dmh)
+                    d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
+                    ignore = (d_bit == jnp.uint32(1)) & (brick_key == ray_key)
+                    real_hit = vhit & ~ignore
+                else:
+                    real_hit = vhit
 
                 t_off = voxel_scale * F(0.05)
                 hit_t = entry_t + b_t - t_off
@@ -362,17 +450,17 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
                 return (running.astype(jnp.int32), in_brick.astype(jnp.int32),
                         t_base, tv, sx, sy, sz, lx, ly, lz,
                         bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
-                        occ_lo, occ_hi, dml, dmh, mat_start, ncode,
+                        occ_lo, occ_hi, dml, dmh, brick_key, mat_start, ncode,
                         found.astype(jnp.int32), out_t, out_addr, pending, t_cur)
 
             ss = (running.astype(jnp.int32), in_brick.astype(jnp.int32),
                   t_base, tv, sx, sy, sz, lx, ly, lz,
                   bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
-                  occ_lo, occ_hi, dml, dmh, mat_start, ncode,
+                  occ_lo, occ_hi, dml, dmh, brick_key, mat_start, ncode,
                   found.astype(jnp.int32), out_t, out_addr, pending, t_cur)
-            # while_loop with early exit: crashes observed earlier were the
-            # BOOL loop carries (bisected); with int32 mask carries both
-            # loops compile on hardware
+            # while_loop with early exit: the crashes observed in round 1
+            # were the BOOL loop carries (bisected); with int32 mask carries
+            # both loops compile on hardware
             def step_cond(ss_k):
                 ss, k = ss_k
                 return (k < steps_per_phase) & jnp.any(ss[0] != 0)
@@ -384,7 +472,7 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
             ss, _ = jax.lax.while_loop(step_cond, step_wrap,
                                        (ss, jnp.int32(0)))
             (running_i, _, t_base, tv, _, _, _, lx, ly, lz,
-             _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
+             _, _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
              found_i, out_t, out_addr, pending, t_cur) = ss
             running = running_i != 0
             found = found_i != 0
@@ -416,20 +504,28 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int):
         t_ref[:] = out_t
         ncode_ref[:] = ncode
         addr_ref[:] = out_addr
+        pend_ref[:] = pending
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("static", "max_phases", "steps_per_phase",
-                                   "interpret"))
+                                   "needs_ignore", "predicated", "interpret"))
 def trace_tiles_regions(static: GridStatic, region_blocks,
-                        ox, oy, oz, dx, dy, dz, t_base, active,
+                        ox, oy, oz, dx, dy, dz, t_base, active, ray_key=None,
                         max_phases: int = 128, steps_per_phase: int = 48,
+                        needs_ignore: bool = False, predicated: bool = True,
                         interpret: bool = False):
-    """Region-marching tile trace. Returns dict(found, t, ncode, mat_addr)."""
+    """Region-marching tile trace.
+
+    Returns dict(found, t, ncode, mat_addr, unfinished) — `unfinished`
+    marks lanes parked when the phase budget ran out (re-trace them on the
+    XLA wavefront; see grid_hit_tiles)."""
     n = ox.shape[0]
     assert n % TILE == 0
     tiles = n // TILE
+    if ray_key is None:
+        ray_key = jnp.full((n,), jnp.nan, dtype=F)
 
     def reshape(a):
         return a.reshape(tiles * TILE_SUBLANES, TILE_LANES)
@@ -437,47 +533,51 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
     ray_spec = pl.BlockSpec((TILE_SUBLANES, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = (tiles * TILE_SUBLANES, TILE_LANES)
-    found, t, ncode, addr = pl.pallas_call(
-        _tile_kernel(static, max_phases, steps_per_phase),
+    found, t, ncode, addr, pending = pl.pallas_call(
+        _tile_kernel(static, max_phases, steps_per_phase, needs_ignore,
+                     predicated),
         grid=(tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, _SUBROWS, 128), jnp.int32),
+            pltpu.VMEM((_N_FIELDS, _SUBROWS, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(region_blocks,
       reshape(ox), reshape(oy), reshape(oz),
       reshape(dx), reshape(dy), reshape(dz),
-      reshape(t_base), reshape(active.astype(jnp.int32)))
+      reshape(t_base), reshape(active.astype(jnp.int32)), reshape(ray_key))
     return dict(found=found.reshape(n) != 0, t=t.reshape(n),
-                ncode=ncode.reshape(n), mat_addr=addr.reshape(n))
+                ncode=ncode.reshape(n), mat_addr=addr.reshape(n),
+                unfinished=pending.reshape(n) >= 0)
 
 
 def compatible(static: GridStatic) -> bool:
-    """Whether the region tracer can serve this grid."""
-    ry, rz, rx = REGION_CELLS
-    return (static.dim_y % ry == 0 and static.dim_z % rz == 0
-            and static.dim_x % rx == 0
-            and static.brick_alloc * 64 < (1 << 31))
+    """Whether the region tracer can serve this grid: material addresses
+    must fit the packed field ((window+1) << 6 in a signed int32)."""
+    return static.brick_alloc * 64 < (1 << 30)
 
 
 def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
-                   ox, oy, oz, dx, dy, dz, active,
+                   ox, oy, oz, dx, dy, dz, active, ray_key=None,
                    max_phases: int = 64, steps_per_phase: int = 48,
+                   needs_ignore: bool = False, predicated: bool = True,
                    interpret: bool = False):
     """grid_hit-compatible wrapper over the region tracer (SoA outputs).
 
-    Serves ignore-free rays only (primary, shadows, lambertian/metal
-    bounces). Pads the wavefront to a TILE multiple internally.
-    """
+    Serves every ray class: pass `ray_key` (the per-ray refraction key —
+    internal_reflection where ignore_type == MAT_DIELECTRIC, NaN otherwise)
+    with needs_ignore=True for refracted bounce rays. Pads the wavefront to
+    a TILE multiple internally. Output includes `unfinished` for lanes the
+    phase budget could not retire (callers re-trace those on ops.trace)."""
     n = ox.shape[0]
     pad = (-n) % TILE
 
@@ -505,7 +605,9 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         p(ox), p(oy), p(oz), p(dx, 1.0), p(dy), p(dz),
         p(t_base), p(ok.astype(jnp.float32)).astype(jnp.bool_)
         if pad else ok,
+        ray_key=None if ray_key is None else p(ray_key, np.nan),
         max_phases=max_phases, steps_per_phase=steps_per_phase,
+        needs_ignore=needs_ignore, predicated=predicated,
         interpret=interpret)
 
     found = out["found"][:n]
@@ -525,4 +627,5 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
     index = arrays.material_indices[
         jnp.where(found, addr, 0)].astype(jnp.int32)
     return dict(found=found, t=t, px=px, py=py, pz=pz,
-                nx=nx_, ny=ny_, nz=nz_, index=index)
+                nx=nx_, ny=ny_, nz=nz_, index=index,
+                unfinished=out["unfinished"][:n])

@@ -115,26 +115,81 @@ def safe_inverse(v):
 
 DIST_CAP = 31  # max encoded empty-space Chebyshev radius
 
+# Distance-field accuracy/op-count tradeoff (see _distance_field): exact
+# for Chebyshev distances <= _DF_EXACT_RADIUS, then doubled windows whose
+# floor penalty (prev radius + 1) guarantees the value never exceeds the
+# true distance. (radius, floor) with floor = previous radius + 1.
+_DF_EXACT_RADIUS = 3
+_DF_LEVELS = ((6, 4), (12, 7), (24, 13), (DIST_CAP - 1, 25))
+
 
 def _distance_field(static: GridStatic, loaded):
     """Chebyshev distance-to-nearest-loaded-cell, capped at DIST_CAP.
 
     The reference leaves hierarchical acceleration as a TODO
-    (brick_raytracer.comp:145 "higher level grid optimization"); on TPU an
-    iterated 3x3x3 max-dilation (reduce_window) computes the field in a few
-    fused vector passes, and the DDA uses it to leap D-1 cells of empty
-    space per lookup instead of stepping cell by cell.
+    (brick_raytracer.comp:145 "higher level grid optimization"); the DDA
+    uses this field to leap D-1 cells of empty space per lookup instead of
+    stepping cell by cell.
+
+    The L-inf distance transform is separable into three sequential 1-D
+    passes — dist(p) = min_q max(|dy|,|dz|,|dx|) factors because `min` over
+    one axis commutes with `max` against terms independent of that axis:
+        h1(y,z,x) = min_{|k|<=C} max(h0(y,z,x+k), |k|)   (h0 = 0/CAP mask)
+        h2, h3 likewise along z and y.
+    Evaluating every k exactly costs 2*DIST_CAP shifted ops per axis;
+    dispatch overhead per XLA op dominates at this volume size (measured:
+    the op COUNT, not bytes, sets the cost), so the far field uses doubled
+    windowed-mins with floor penalties instead:
+
+        candidate(radius r, prev radius rp) = max(window_min_r, rp + 1)
+
+    For a 1-D argmin at offset |k| in (rp, r], window_min_r <= h(x+k) and
+    rp+1 <= |k|, so the candidate never exceeds the true transform — the
+    field only ever UNDERestimates (safe: a skip of dist-1 cells can never
+    jump past geometry), exactly for distances <= _DF_EXACT_RADIUS and by
+    at most ~2x beyond. This replaces the round-1 implementation (31
+    sequential 27-tap reduce_window dilations over the whole volume, the
+    dominant cost whenever the field had to be rebuilt, e.g. per edit
+    batch): ~135 fused elementwise ops total, ~10ms on v5e for the default
+    128x64x128-cell scene vs ~500+ms before.
     """
     vol = loaded.reshape(static.dim_y, static.dim_z, static.dim_x)
-    dist = jnp.full(vol.shape, DIST_CAP, dtype=jnp.int32)
-    dist = jnp.where(vol, 0, dist)
-    reach = vol
-    for d in range(1, DIST_CAP):
-        reach = jax.lax.reduce_window(
-            reach, False, jax.lax.bitwise_or,
-            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
-            padding="SAME")
-        dist = jnp.minimum(dist, jnp.where(reach, d, DIST_CAP))
+    dist = jnp.where(vol, jnp.int32(0), jnp.int32(DIST_CAP))
+
+    exact_r = _DF_EXACT_RADIUS
+    levels = _DF_LEVELS  # (radius, floor) pairs, radii strictly increasing
+
+    def shifted(p, axis, off, shape):
+        sl = [slice(None)] * 3
+        sl[axis] = slice(off[0], off[0] + shape[axis])
+        return p[tuple(sl)]
+
+    def axis_pass(d, axis):
+        out = d
+        pad_width = [(0, 0)] * 3
+        pad_width[axis] = (exact_r, exact_r)
+        p = jnp.pad(d, pad_width, constant_values=DIST_CAP)
+        w = d  # windowed min, radius grows as we go
+        for k in range(1, exact_r + 1):
+            left = shifted(p, axis, (exact_r - k,), d.shape)
+            right = shifted(p, axis, (exact_r + k,), d.shape)
+            near = jnp.minimum(left, right)
+            out = jnp.minimum(out, jnp.maximum(near, k))
+            w = jnp.minimum(w, near)
+        prev_r = exact_r
+        for r, floor in levels:
+            step = r - prev_r
+            pad_width[axis] = (step, step)
+            pw = jnp.pad(w, pad_width, constant_values=DIST_CAP)
+            w = jnp.minimum(
+                w, jnp.minimum(shifted(pw, axis, (0,), d.shape),
+                               shifted(pw, axis, (2 * step,), d.shape)))
+            out = jnp.minimum(out, jnp.maximum(w, floor))
+            prev_r = r
+        return out
+
+    for axis in (2, 1, 0):
+        dist = axis_pass(dist, axis)
     return dist.reshape(-1)
 
 
@@ -195,6 +250,67 @@ def build_trace_tables(static: GridStatic, arrays: GridArrays, dist=None):
          ir_bits,
          jnp.zeros_like(dist)],
         axis=-1)
+
+
+def _rows_for_cells(static: GridStatic, arrays: GridArrays, cells, dist_rows):
+    """Traversal records for a subset of cells (same layout as
+    build_trace_tables rows). `cells` int32[K] (clipped), `dist_rows`
+    int32[K] skip distances for those cells."""
+    cells_u = cells.astype(jnp.uint32)
+    bits = arrays.statuses[(cells_u // 32).astype(jnp.int32)]
+    loaded = ((bits >> (cells_u % 32)) & jnp.uint32(1)) == 1
+    brick = jnp.where(loaded, arrays.indices[cells], jnp.uint32(0)).astype(jnp.int32)
+    occ2 = arrays.occupancy.reshape(static.brick_alloc, BRICK_WORDS)
+    occ_rows = occ2[brick]
+    diel2 = arrays.diel_mask.reshape(static.brick_alloc, BRICK_WORDS)
+    diel_rows = diel2[brick]
+    ir_bits = jax.lax.bitcast_convert_type(arrays.brick_ir[brick], jnp.int32)
+    start = arrays.start_indices[brick]
+    start = jnp.where(loaded, start, _EMPTY)
+    return jnp.stack(
+        [start.astype(jnp.int32),
+         occ_rows[:, 0].astype(jnp.int32),
+         occ_rows[:, 1].astype(jnp.int32),
+         dist_rows,
+         diel_rows[:, 0].astype(jnp.int32),
+         diel_rows[:, 1].astype(jnp.int32),
+         ir_bits,
+         jnp.zeros_like(dist_rows)],
+        axis=-1)
+
+
+def refresh_tables_after_insert(static: GridStatic, arrays: GridArrays,
+                                tables, cells, valid):
+    """Incrementally maintain cached trace tables after an insert batch.
+
+    The reference streams min/max dirty ranges to the GPU after edits
+    (State.zig:14-57, VoxelRT.zig:107-172); the TPU analog: only the
+    touched cells' records change (start/occupancy/dielectric data), plus
+    the global skip-distance lane (inserts can load new cells, lowering
+    distances anywhere within DIST_CAP). The distance field is rebuilt in
+    full — it is a handful of fused vector passes (see _distance_field) —
+    and scattered into lane 3; the K touched rows are re-gathered and
+    scattered. Returns (tables, dist).
+    """
+    dist = distance_field(static, arrays)
+    tables = tables.at[:, 3].set(dist)
+    safe = jnp.clip(cells, 0, static.cells - 1)
+    rows = _rows_for_cells(static, arrays, safe, dist[safe])
+    tables = tables.at[jnp.where(valid, safe, static.cells)].set(
+        rows, mode="drop")
+    return tables, dist
+
+
+def refresh_tables_after_remove(static: GridStatic, arrays: GridArrays,
+                                tables, dist, cells, valid):
+    """Incremental table maintenance after removals: statuses never change
+    (bricks are not freed), so the cached skip field stays valid; only the
+    touched cells' occupancy/dielectric rows are re-gathered."""
+    safe = jnp.clip(cells, 0, static.cells - 1)
+    rows = _rows_for_cells(static, arrays, safe, dist[safe])
+    tables = tables.at[jnp.where(valid, safe, static.cells)].set(
+        rows, mode="drop")
+    return tables
 
 
 @partial(jax.jit, static_argnames=("static", "max_steps", "use_skip",
@@ -310,11 +426,20 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     step_code_y = jnp.where(sty < 0, 1, 5)
     step_code_z = jnp.where(stz < 0, 2, 6)
 
-    zf = jnp.zeros(n, dtype=F)
-    zi = jnp.zeros(n, dtype=jnp.int32)
+    # carry seeds derive from the (per-shard varying) ray arrays rather
+    # than plain constants: under shard_map the varying-manual-axes checker
+    # requires while_loop carries to enter the loop already marked varying
+    # (they become varying through the body), and `x * 0` / `x ^ x` keeps
+    # the varying type where jnp.zeros would not
+    # (the ray ORIGIN is a replicated broadcast under shard_map; the
+    # directions vary per row shard, so derive the seeds from those)
+    zf = (dx + dy) * F(0.0)
+    zi = (stx + sty) ^ (stx + sty)
+    zu = zi.astype(jnp.uint32)
+    zb = zi != zi
     state = dict(
         running=active & slab_ok,
-        in_brick=jnp.zeros(n, dtype=jnp.bool_),
+        in_brick=zb,
         lx=lx0, ly=ly0, lz=lz0,
         sx=sx0, sy=sy0, sz=sz0,
         t_base=grid_t_min,
@@ -324,20 +449,20 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
         bsx=zf, bsy=zf, bsz=zf,
         b_t=zf,
         entry_t=zf,
-        occ_lo=jnp.zeros(n, dtype=jnp.uint32),
-        occ_hi=jnp.zeros(n, dtype=jnp.uint32),
+        occ_lo=zu,
+        occ_hi=zu,
         mat_start=zi,
         bminx=zf, bminy=zf, bminz=zf,
         local_t_max=zf,
-        found=jnp.zeros(n, dtype=jnp.bool_),
+        found=zb,
         out_t=zf,
         out_addr=zi,
         step=jnp.int32(0),
     )
     if needs_ignore:
-        state["dmask_lo"] = jnp.zeros(n, dtype=jnp.uint32)
-        state["dmask_hi"] = jnp.zeros(n, dtype=jnp.uint32)
-        state["brick_key"] = jnp.full(n, jnp.nan, dtype=F)
+        state["dmask_lo"] = zu
+        state["dmask_hi"] = zu
+        state["brick_key"] = zf + F(jnp.nan)
     if bounded_t:
         state["global_t"] = global_t0
     # per-ray dielectric skip key: the rule only ever triggers for
@@ -603,26 +728,63 @@ def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
 def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    sun_position, sun_enabled, sun_color, sun_radius,
                    max_steps, tables=None, use_skip=False,
-                   region_blocks=None, tile_interpret=False):
+                   region_blocks=None, tile_interpret=False,
+                   tile_max_phases=64):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
 
-    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask):
-        """Ignore-free traversal: the Pallas region tracer when enabled,
-        else the XLA wavefront."""
-        if region_blocks is not None:
-            from .tile_tracer import grid_hit_tiles
+    _HIT_KEYS = ("found", "t", "px", "py", "pz", "nx", "ny", "nz", "index")
 
-            return grid_hit_tiles(static, arrays, region_blocks,
-                                  hox, hoy, hoz, hdx, hdy, hdz, mask,
-                                  interpret=tile_interpret)
+    def hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None):
+        """The XLA wavefront traversal (fallback / non-Pallas path)."""
+        if ray_key is None:
+            ignore_type = jnp.full(n, MAT_NONE, dtype=jnp.int32)
+            internal = jnp.ones(n, dtype=F)
+            needs = False
+        else:
+            # ray_key is NaN for non-refracted lanes; the XLA path derives
+            # its skip key from (ignore_type, internal_reflection), so
+            # reconstruct the equivalent pair
+            isnan = jnp.isnan(ray_key)
+            ignore_type = jnp.where(isnan, MAT_NONE,
+                                    MAT_DIELECTRIC).astype(jnp.int32)
+            internal = jnp.where(isnan, F(1.0), ray_key)
+            needs = True
         return _grid_hit_soa(static, arrays, mats, hox, hoy, hoz,
                              hdx, hdy, hdz, jnp.float32(jnp.inf),
-                             jnp.full(n, MAT_NONE, dtype=jnp.int32),
-                             jnp.ones(n, dtype=F), mask, max_steps,
+                             ignore_type, internal, mask, max_steps,
                              tables, use_skip, bounded_t=False,
-                             needs_ignore=False)
+                             needs_ignore=needs)
+
+    def hit(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None):
+        """Traversal for any ray class: the Pallas region tracer when
+        enabled (all ray classes in-kernel since round 2), with an XLA
+        wavefront re-trace of any lanes the kernel's phase budget could
+        not retire (runtime-skipped when none)."""
+        if region_blocks is None:
+            return hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key)
+        from .tile_tracer import grid_hit_tiles
+
+        out = grid_hit_tiles(static, arrays, region_blocks,
+                             hox, hoy, hoz, hdx, hdy, hdz, mask,
+                             ray_key=ray_key,
+                             needs_ignore=ray_key is not None,
+                             max_phases=tile_max_phases,
+                             interpret=tile_interpret)
+        unfinished = out.pop("unfinished") & mask
+
+        def retrace(op):
+            fb = hit_xla(hox, hoy, hoz, hdx, hdy, hdz, unfinished, ray_key)
+            return tuple(jnp.where(unfinished, fb[k], op[i])
+                         for i, k in enumerate(_HIT_KEYS))
+
+        vals = jax.lax.cond(jnp.any(unfinished), retrace, lambda op: op,
+                            tuple(out[k] for k in _HIT_KEYS))
+        return dict(zip(_HIT_KEYS, vals))
+
+    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask):
+        return hit(hox, hoy, hoz, hdx, hdy, hdz, mask)
     dx, dy, dz = _norm3(dx, dy, dz)
     cr = jnp.zeros(n, dtype=F)
     cg = jnp.zeros(n, dtype=F)
@@ -645,10 +807,12 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         if bounce_i == 0:
             h = hit_ignore_free(ox, oy, oz, dx, dy, dz, bouncing)
         else:
-            h = _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz,
-                              inf, ignore_type, internal_refl, bouncing,
-                              max_steps, tables, use_skip, bounded_t=False,
-                              needs_ignore=True)
+            # per-ray dielectric skip key: the rule only triggers for
+            # refracted rays; NaN never compares equal, so other rays
+            # skip nothing (brick_raytracer.comp:427)
+            bounce_key = jnp.where(ignore_type == MAT_DIELECTRIC,
+                                   internal_refl, jnp.full(n, jnp.nan, F))
+            h = hit(ox, oy, oz, dx, dy, dz, bouncing, ray_key=bounce_key)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -828,7 +992,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 row0=0, rows: int | None = None, max_steps: int = 768,
                 tables=None, use_skip: bool = False, sample_base=0.0,
                 row_bands: int = 1, region_blocks=None,
-                tile_interpret: bool = False):
+                tile_interpret: bool = False, tile_max_phases: int = 64):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -855,7 +1019,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
                 jnp.asarray(sun_position, dtype=F), sun_enabled,
                 jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
-                max_steps, tables, use_skip, region_blocks, tile_interpret)
+                max_steps, tables, use_skip, region_blocks, tile_interpret,
+                tile_max_phases)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 

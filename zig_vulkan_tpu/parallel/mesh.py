@@ -90,12 +90,17 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
         trace_shard, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS),
-        check_vma=False,
+        check_vma=True,
     )
 
     @jax.jit
-    def step(arrays, mats, cam, sun_position, sun_color, sun_radius):
-        tables = trace_mod.build_trace_tables(static, arrays)
+    def step(arrays, mats, cam, sun_position, sun_color, sun_radius,
+             tables=None):
+        if tables is None:
+            # caller didn't pass cached tables: build in-step (one-shot
+            # convenience paths); engines/benchmarks pass the cache so the
+            # per-frame cost is the trace alone
+            tables = trace_mod.build_trace_tables(static, arrays)
         img = sharded_trace(arrays, tables, mats, cam, sun_position,
                             sun_color, sun_radius)
         if denoiser.enabled:
@@ -114,14 +119,17 @@ def render_image_sharded(mesh: Mesh, static: GridStatic, arrays: GridArrays,
                          mats: trace_mod.MaterialsDevice, camera_device,
                          sun_device, *, sun_enabled: Optional[bool] = None,
                          denoiser: DenoiserConfig = DenoiserConfig(enabled=False),
-                         trace_config: TraceConfig = TraceConfig()):
+                         trace_config: TraceConfig = TraceConfig(),
+                         out_size: Optional[tuple] = None):
     """Convenience one-shot sharded render from host camera/sun state."""
     d = camera_device
+    ow, oh = out_size if out_size is not None else (None, None)
     step = build_sharded_step(
         mesh, static,
         width=int(d.image_width), height=int(d.image_height),
         spp=int(d.samples_per_pixel), max_bounce=int(d.max_bounce),
         sun_enabled=bool(sun_device.enabled if sun_enabled is None else sun_enabled),
+        out_width=ow, out_height=oh,
         denoiser=denoiser, trace_config=trace_config)
     arrays_r, mats_r = replicate_scene(mesh, arrays, mats)
     return step(
