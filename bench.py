@@ -20,6 +20,13 @@ tracer (ops.tile_tracer), the engine default on TPU.
 
 from __future__ import annotations
 
+import os as _os
+
+# persistent jit cache: the remote TPU compiles are minutes-long; cache
+# them across runs (harmless on CPU)
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zvt_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import json
 import signal
 import sys
@@ -75,45 +82,48 @@ def main() -> None:
     arrays = sc.grid.device_arrays()
     mats = tt.materials_to_device(sc.materials)
     static = sc.grid.static
-    tables = _jax.jit(tt.build_trace_tables, static_argnums=0)(static, arrays)
+    dist = _jax.jit(tt.distance_field, static_argnums=(0, 2))(
+        static, arrays, True)
+    tables = _jax.jit(tt.build_trace_tables, static_argnums=0)(
+        static, arrays, dist)
     blocks = _jax.jit(tl.build_region_tables, static_argnums=0)(
         static, arrays, tables)
     cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
-    cv = tt.camera_vectors(cam.d_camera)
 
     @jax.jit
-    def frame(acc, origin):
-        cam2 = dict(cv)
-        cam2["origin"] = origin
-        ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cam2, width, height, 0)
+    def frame(acc, cv):
+        ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cv, width, height, 0)
         inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
         dx, dy, dz = dx * inv, dy * inv, dz * inv
         ox = ox + acc * 0.0  # chain the previous frame into this dispatch
         h = tl.grid_hit_tiles(static, arrays, blocks, ox, oy, oz, dx, dy, dz,
-                              jnp.ones(ox.shape[0], jnp.bool_))
+                              jnp.ones(ox.shape[0], jnp.bool_),
+                              image_shape=(height, width))
         # scalar checksum chains the dependency into the next frame
         return (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
                 + jnp.float32(1.0))
 
-    # camera origins along the fly-through path (varied work per frame)
+    # full camera bases along the fly-through path, precomputed OUTSIDE the
+    # timed loop (per-frame host->device transfers cost tens of ms through
+    # the TPU tunnel and would swamp the kernel; see docs/DESIGN_NOTES.md)
     path = np.asarray(PATH_POINTS, dtype=np.float32)
-    origins = [
-        jnp.asarray(path[i % (len(path) - 1)]
-                    + (path[(i % (len(path) - 1)) + 1] - path[i % (len(path) - 1)])
-                    * ((i * 7 % 10) / 10.0), dtype=jnp.float32)
-        for i in range(frames)
-    ]
+    cam_vecs = []
+    for i in range(frames):
+        cam.d_camera.origin = path[i % len(path)]
+        cam.propagate_pitch_change()
+        cam_vecs.append({k: jnp.asarray(v) for k, v in
+                         tt.camera_vectors(cam.d_camera).items()})
 
     # warmup: compile + one full execution, synced by a host read
     t0 = time.time()
-    acc = frame(jnp.float32(0.0), origins[0])
+    acc = frame(jnp.float32(0.0), cam_vecs[0])
     _ = float(acc)
     print(f"# warmup (compile + 1 frame): {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     acc = jnp.float32(0.0)
     for i in range(frames):
-        acc = frame(acc, origins[i])
+        acc = frame(acc, cam_vecs[i])
     checksum = float(acc)  # single sync for the whole run
     elapsed = time.time() - t0
 

@@ -80,3 +80,14 @@ def test_single_seed_far_corner_caps():
     assert (vol3 <= want).all()
     assert (2 * vol3 >= want).all()
     assert vol3[39, 39, 39] <= DIST_CAP
+
+
+def test_exact_mode_matches_brute_force():
+    rng = np.random.default_rng(5)
+    shape = (10, 40, 21)
+    vol = rng.random(shape) < 0.01
+    st = _static(*shape)
+    got = np.asarray(_distance_field(st, jnp.asarray(vol.reshape(-1)),
+                                     exact=True))
+    want = _brute_force(vol).reshape(-1)
+    np.testing.assert_array_equal(got, want)

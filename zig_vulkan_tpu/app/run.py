@@ -14,6 +14,13 @@ Usage:
 
 from __future__ import annotations
 
+import os as _os
+
+# persistent jit cache: the remote TPU compiles are minutes-long; cache
+# them across runs (harmless on CPU)
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zvt_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import argparse
 import os
 import sys

@@ -94,8 +94,10 @@ class VoxelRT:
         self._tables = None
         self._dist = None
         self._blocks = None   # region-major tables for the Pallas tracer
+        self._dummy_blocks = None
         self._tables_fn = jax.jit(trace_mod.build_trace_tables, static_argnums=0)
-        self._dist_fn = jax.jit(trace_mod.distance_field, static_argnums=0)
+        self._dist_fn = jax.jit(trace_mod.distance_field,
+                                static_argnums=(0, 2))
         self._blocks_fn = None
         self._refresh_insert_fn = jax.jit(
             trace_mod.refresh_tables_after_insert, static_argnums=0)
@@ -119,32 +121,42 @@ class VoxelRT:
          empty_skip, temporal, row_bands, use_pallas) = key
         static = self.grid_static
 
-        def step(arrays, tables, region_blocks, mats, cam, sun_position,
-                 sun_color, sun_radius, dn_bias, dn_hue, accum, n_accum,
-                 sample_base):
+        def body(arrays, tables, region_blocks, mats, pc, accum):
+            # pc = the packed per-frame "push constants" (ONE host->device
+            # transfer per frame; layout in _push_constants): the TPU
+            # analog of the reference's camera/sun/denoiser push-constant
+            # ranges (ComputePipeline.zig:258-272, GraphicsPipeline push)
             if not use_pallas:
                 region_blocks = None
+            cam = dict(origin=pc[0:3], horizontal=pc[3:6], vertical=pc[6:9],
+                       lower_left_corner=pc[9:12])
             img = trace_mod.render_rows(
                 static, arrays, mats, cam, iw, ih, spp, max_bounce,
-                sun_position, sun_color, sun_radius, sun_enabled,
+                pc[12:15], pc[15:18], pc[18], sun_enabled,
                 max_steps=max_steps, tables=tables, use_skip=empty_skip,
-                sample_base=sample_base, row_bands=row_bands,
+                sample_base=pc[21], row_bands=row_bands,
                 region_blocks=region_blocks,
                 tile_interpret=jax.default_backend() == "cpu")
             if temporal:
                 # running average over pose-static frames
-                accum = accum + (img - accum) / (n_accum + F(1.0))
+                accum = accum + (img - accum) / (pc[22] + F(1.0))
                 img = accum
             if dn_enabled:
                 out = denoise_mod.denoise(
-                    img, samples=dn_samples, distribution_bias=dn_bias,
+                    img, samples=dn_samples, distribution_bias=pc[19],
                     pixel_multiplier=dn_pixel_multiplier,
-                    inverse_hue_tolerance=dn_hue, out_shape=(oh, ow))
+                    inverse_hue_tolerance=pc[20], out_shape=(oh, ow))
             else:
                 out = denoise_mod.bilinear_resample(img, oh, ow)
             return out, accum
 
-        return jax.jit(step, donate_argnums=(10,))
+        if temporal:
+            return jax.jit(body, donate_argnums=(5,))
+
+        def step_nt(arrays, tables, region_blocks, mats, pc):
+            return body(arrays, tables, region_blocks, mats, pc, None)[0]
+
+        return jax.jit(step_nt)
 
     def _tile_tracer_compatible(self) -> bool:
         from ..ops.tile_tracer import compatible
@@ -185,7 +197,11 @@ class VoxelRT:
             # scene-derived traversal records, cached across frames; the
             # skip field is cached separately (removals keep it valid)
             if self._dist is None:
-                self._dist = self._dist_fn(self.grid_static, self.arrays)
+                # scene (re)build: pay for the exact field once — larger
+                # skip radii cut steady-state DDA iterations; per-edit
+                # refreshes use the fast conservative build instead
+                self._dist = self._dist_fn(self.grid_static, self.arrays,
+                                           True)
             self._tables = self._tables_fn(self.grid_static, self.arrays,
                                            self._dist)
         use_pallas = key[-1]
@@ -197,39 +213,51 @@ class VoxelRT:
                                           static_argnums=0)
             self._blocks = self._blocks_fn(self.grid_static, self.arrays,
                                            self._tables)
-        blocks = self._blocks if use_pallas else jnp.zeros((1,), dtype=F)
+        if self._dummy_blocks is None:
+            self._dummy_blocks = jnp.zeros((1,), dtype=F)
+        blocks = self._blocks if use_pallas else self._dummy_blocks
 
         iw, ih = self.internal_resolution
-        pose = (tuple(np.asarray(self.camera.d_camera.origin).tolist()),
-                tuple(np.asarray(self.camera.d_camera.lower_left_corner).tolist()),
-                tuple(np.asarray(sun.position).tolist()))
-        if self.temporal_enabled and (pose != self._pose_key
-                                      or self._accum is None
-                                      or self._accum.shape != (ih, iw, 3)):
-            self._accum = jnp.zeros((ih, iw, 3), dtype=F)
-            self._accum_count = 0
-        self._pose_key = pose
-        accum = (self._accum if self.temporal_enabled
-                 else jnp.zeros((ih, iw, 3), dtype=F))
-        spp = int(self.camera.d_camera.samples_per_pixel)
-        sample_base = (F(self._accum_count * spp)
-                       if self.temporal_enabled else F(0.0))
-
-        out, new_accum = step(
-            self.arrays, self._tables, blocks, self.mats,
-            trace_mod.camera_vectors(self.camera.d_camera),
-            jnp.asarray(sun.position, dtype=F),
-            jnp.asarray(sun.color, dtype=F),
-            jnp.asarray(sun.radius, dtype=F),
-            jnp.asarray(self.denoiser.distribution_bias, dtype=F),
-            jnp.asarray(self.denoiser.inverse_hue_tolerance, dtype=F),
-            accum, jnp.asarray(self._accum_count, dtype=F),
-            jnp.asarray(sample_base, dtype=F),
-        )
         if self.temporal_enabled:
-            self._accum = new_accum
+            pose = (tuple(np.asarray(self.camera.d_camera.origin).tolist()),
+                    tuple(np.asarray(
+                        self.camera.d_camera.lower_left_corner).tolist()),
+                    tuple(np.asarray(sun.position).tolist()))
+            if (pose != self._pose_key or self._accum is None
+                    or self._accum.shape != (ih, iw, 3)):
+                self._accum = jnp.zeros((ih, iw, 3), dtype=F)
+                self._accum_count = 0
+            self._pose_key = pose
+            pc = jnp.asarray(self._push_constants())
+            out, self._accum = step(self.arrays, self._tables, blocks,
+                                    self.mats, pc, self._accum)
             self._accum_count += 1
-        return out
+            return out
+        pc = jnp.asarray(self._push_constants())
+        return step(self.arrays, self._tables, blocks, self.mats, pc)
+
+    def _push_constants(self) -> np.ndarray:
+        """Per-frame dynamic values packed into ONE f32 array (one
+        host->device transfer per frame — the tunnel charges per
+        transfer, and this is the literal analog of the reference's push
+        constants)."""
+        d = self.camera.d_camera
+        sun = self.sun.device_data
+        pc = np.zeros(24, dtype=np.float32)
+        pc[0:3] = np.asarray(d.origin, np.float32)
+        pc[3:6] = np.asarray(d.horizontal, np.float32)
+        pc[6:9] = np.asarray(d.vertical, np.float32)
+        pc[9:12] = np.asarray(d.lower_left_corner, np.float32)
+        pc[12:15] = np.asarray(sun.position, np.float32)
+        pc[15:18] = np.asarray(sun.color, np.float32)
+        pc[18] = np.float32(sun.radius)
+        pc[19] = np.float32(self.denoiser.distribution_bias)
+        pc[20] = np.float32(self.denoiser.inverse_hue_tolerance)
+        spp = int(d.samples_per_pixel)
+        pc[21] = np.float32(self._accum_count * spp
+                            if self.temporal_enabled else 0.0)
+        pc[22] = np.float32(self._accum_count)
+        return pc
 
     def draw(self, dt: float | None = None):
         """Render + record frame metrics (Pipeline.draw analog). Blocks

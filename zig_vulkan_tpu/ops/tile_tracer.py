@@ -163,7 +163,16 @@ def _lookup(block_field, local_idx):
 
 
 def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
-                 needs_ignore: bool, predicated: bool = True):
+                 needs_ignore: bool, predicated: bool = True,
+                 stats: bool = False, step_unroll: int = 1,
+                 split: bool = False):
+    # step_unroll: run the DDA step body K times per while iteration — the
+    # loop condition's any() is a vector->scalar reduction with real
+    # latency; checking it every K cheap steps trades <=K-1 wasted
+    # (masked-off) body executions per phase for K fewer sync points.
+    # stats=True builds a diagnostic variant that counts phases (sublane 0)
+    # and live DDA steps (sublane 1) per lane into the pending output's
+    # value space — used by tuning runs to locate where frame time goes.
     dim_x, dim_y, dim_z = static.dims
     ny, nz, nx = region_grid(static)
     ry, rz, rx = REGION_CELLS
@@ -236,8 +245,231 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     & (lz0 >= 0) & (lz0 < dim_z))
         pend0 = jnp.where(act & in_grid0, region_of(lx0, ly0, lz0), -1)
 
+        def phase_body_split(_, st):
+            """Split-march phase: the hot loop is a pure MARCH step (one
+            packed lookup + grid DDA, no brick logic); entered bricks are
+            resolved by a fully UNROLLED 10-substep voxel walk under a
+            tile-level lax.cond that fires only on the (coherent, rare)
+            iterations where some lane actually enters a brick. Removes
+            ~40% of the per-iteration op count and all brick iterations
+            from the loop (measured: see docs/DESIGN_NOTES.md)."""
+            (pending, t_cur, ncode, found_ph, out_t, out_addr,
+             n_phase, n_step) = st
+            live = pending >= 0
+            inf_t = jnp.float32(3e38)
+            t_live = jnp.where(live, t_cur, inf_t)
+            tmin = jnp.min(t_live)
+            rid = jnp.min(jnp.where(live & (t_live <= tmin),
+                                    pending, jnp.int32(ny * nz * nx)))
+            rid = jnp.clip(rid, 0, jnp.int32(ny * nz * nx - 1))
+            dma = pltpu.make_async_copy(blocks_hbm.at[rid], scratch, sem)
+            dma.start()
+            dma.wait()
+
+            mine = live & (pending == rid)
+            r_y = rid // (nz * nx)
+            r_z = (rid // nx) % nz
+            r_x = rid % nx
+            bx0 = r_x * rx
+            by0 = r_y * ry
+            bz0 = r_z * rz
+            sx, sy, sz, lx, ly, lz = grid_init(t_cur)
+            t_base = t_cur
+            tv = jnp.zeros_like(t_cur)
+            t_off = voxel_scale * F(0.05)
+
+            def m_step(ms):
+                (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                 found_i, out_t, out_addr, pending, t_cur, k) = ms
+                running = run_i != 0
+                found = found_i != 0
+
+                in_region = ((lx >= bx0) & (lx < bx0 + rx)
+                             & (ly >= by0) & (ly < by0 + ry)
+                             & (lz >= bz0) & (lz < bz0 + rz))
+                in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0)
+                           & (ly < dim_y) & (lz >= 0) & (lz < dim_z))
+                exit_t = t_base + F(1e-4) * scale + tv
+                g_park = running & ~in_region & in_grid
+                g_miss = running & ~in_grid
+                pending = jnp.where(g_park, region_of(lx, ly, lz), pending)
+                pending = jnp.where(g_miss, -1, pending)
+                t_cur = jnp.where(g_park, exit_t, t_cur)
+                running = running & ~g_park & ~g_miss
+                g_act = running
+
+                local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
+                local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
+                packed = _lookup(scratch[_F_PACKED], local)
+                enter = g_act & (packed >= 64)
+                dist = packed & 63
+                do_skip = g_act & ~enter & (dist >= 2)
+                cur_t = t_base + F(1e-4) * scale + tv
+                new_tb = (cur_t + (dist.astype(F) - F(1.0)) * scale
+                          * inv_max_abs)
+                t_base = jnp.where(do_skip, new_tb, t_base)
+                rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+
+                def resolve(args):
+                    # masks travel as int32 through the cond boundary: bool
+                    # (i1) vectors in scf.if results crash the remote
+                    # Mosaic compiler (same class as the round-1 bool
+                    # loop-carry crash; see module docstring)
+                    (found_i2, out_t, out_addr, ncode, running_i2,
+                     pending) = args
+                    found = found_i2 != 0
+                    running = running_i2 != 0
+                    occ_lo = _lookup(scratch[_F_OCC_LO], local).astype(jnp.uint32)
+                    occ_hi = _lookup(scratch[_F_OCC_HI], local).astype(jnp.uint32)
+                    if needs_ignore:
+                        dml = _lookup(scratch[_F_DML], local).astype(jnp.uint32)
+                        dmh = _lookup(scratch[_F_DMH], local).astype(jnp.uint32)
+                        bkey = jax.lax.bitcast_convert_type(
+                            _lookup(scratch[_F_IR], local), F)
+                    mat_start = ((packed >> 6) - 1) << 6
+                    entry_t = tv + t_base + F(0.01) * scale
+                    bminx = lx.astype(F) * scale + gx0
+                    bminy = ly.astype(F) * scale + gy0
+                    bminz = lz.astype(F) * scale + gz0
+                    bfx = (ox + dx * entry_t - bminx) / voxel_scale
+                    bfy = (oy + dy * entry_t - bminy) / voxel_scale
+                    bfz = (oz + dz * entry_t - bminz) / voxel_scale
+                    bsx = (stxf * (jnp.floor(bfx) - bfx)
+                           + (stxf * F(0.5) + F(0.5))) * adx
+                    bsy = (styf * (jnp.floor(bfy) - bfy)
+                           + (styf * F(0.5) + F(0.5))) * ady
+                    bsz = (stzf * (jnp.floor(bfz) - bfz)
+                           + (stzf * F(0.5) + F(0.5))) * adz
+                    blx = jnp.floor(bfx).astype(jnp.int32)
+                    bly = jnp.floor(bfy).astype(jnp.int32)
+                    blz = jnp.floor(bfz).astype(jnp.int32)
+                    b_t = jnp.zeros_like(entry_t)
+                    ltm = tmax_all - entry_t
+                    hcode = ncode
+                    alive = enter
+                    bhit = enter & False
+                    bt_hit = jnp.zeros_like(entry_t)
+                    baddr = jnp.zeros(entry_t.shape, jnp.int32)
+                    hit_code = ncode
+                    # a ray visits at most 4+3+3 = 10 voxels of a 4^3 brick
+                    for _sub in range(10):
+                        in_b = ((blx >= 0) & (blx < _BD) & (bly >= 0)
+                                & (bly < _BD) & (blz >= 0) & (blz < _BD)
+                                & (b_t <= ltm))
+                        a = alive & in_b
+                        alive = a
+                        vi = blx + _BD * (blz + _BD * bly)
+                        viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
+                        occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
+                        occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
+                        vhit = a & (occ_bit == 1)
+                        if needs_ignore:
+                            d_word = jnp.where(viu < 32, dml, dmh)
+                            d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
+                            vhit = vhit & ~((d_bit == jnp.uint32(1))
+                                            & (bkey == ray_key))
+                        bhit = bhit | vhit
+                        bt_hit = jnp.where(vhit, entry_t + b_t - t_off,
+                                           bt_hit)
+                        baddr = jnp.where(vhit, mat_start + vi, baddr)
+                        hit_code = jnp.where(vhit, hcode, hit_code)
+                        alive = a & ~vhit
+                        bax = (bsx < bsy) & (bsx < bsz)
+                        bay = ~(bsx < bsy) & (bsy < bsz)
+                        baz = ~(bax | bay)
+                        bt_new = jnp.where(bax, bsx,
+                                           jnp.where(bay, bsy, bsz)) * voxel_scale
+                        bsx = jnp.where(alive & bax, bsx + adx, bsx)
+                        bsy = jnp.where(alive & bay, bsy + ady, bsy)
+                        bsz = jnp.where(alive & baz, bsz + adz, bsz)
+                        blx = jnp.where(alive & bax, blx + stx, blx)
+                        bly = jnp.where(alive & bay, bly + sty, bly)
+                        blz = jnp.where(alive & baz, blz + stz, blz)
+                        b_t = jnp.where(alive, bt_new, b_t)
+                        hcode = jnp.where(
+                            alive,
+                            jnp.where(bax, code_x,
+                                      jnp.where(bay, code_y, code_z)),
+                            hcode)
+                    found = found | bhit
+                    out_t = jnp.where(bhit, bt_hit, out_t)
+                    out_addr = jnp.where(bhit, baddr, out_addr)
+                    ncode = jnp.where(bhit, hit_code, ncode)
+                    running = running & ~bhit
+                    pending = jnp.where(bhit, -1, pending)
+                    return (found.astype(jnp.int32), out_t, out_addr, ncode,
+                            running.astype(jnp.int32), pending)
+
+                (found_i, out_t, out_addr, ncode, running_i, pending) = \
+                    jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
+                                 (found.astype(jnp.int32), out_t, out_addr,
+                                  ncode, running.astype(jnp.int32), pending))
+                found = found_i != 0
+                running = running_i != 0
+
+                # one grid advance: plain march lanes, and entered lanes
+                # that passed through their brick without a hit (still
+                # running) step out of the cell exactly like the unified
+                # kernel's b_exit path
+                grid_steps = g_act & running & ~do_skip
+                gax = (sx < sy) & (sx < sz)
+                gay = ~(sx < sy) & (sy < sz)
+                gaz = ~(gax | gay)
+                gt_new = jnp.where(gax, sx, jnp.where(gay, sy, sz)) * scale
+                sx = jnp.where(grid_steps & gax, sx + adx, sx)
+                sy = jnp.where(grid_steps & gay, sy + ady, sy)
+                sz = jnp.where(grid_steps & gaz, sz + adz, sz)
+                lx = jnp.where(grid_steps & gax, lx + stx, lx)
+                ly = jnp.where(grid_steps & gay, ly + sty, ly)
+                lz = jnp.where(grid_steps & gaz, lz + stz, lz)
+                tv = jnp.where(grid_steps, gt_new, tv)
+                ncode = jnp.where(
+                    grid_steps,
+                    jnp.where(gax, code_x, jnp.where(gay, code_y, code_z)),
+                    ncode)
+                sx = jnp.where(do_skip, rsx, sx)
+                sy = jnp.where(do_skip, rsy, sy)
+                sz = jnp.where(do_skip, rsz, sz)
+                lx = jnp.where(do_skip, rlx, lx)
+                ly = jnp.where(do_skip, rly, ly)
+                lz = jnp.where(do_skip, rlz, lz)
+                tv = jnp.where(do_skip, F(0.0), tv)
+
+                return (running.astype(jnp.int32), t_base, tv,
+                        sx, sy, sz, lx, ly, lz, ncode,
+                        found.astype(jnp.int32), out_t, out_addr,
+                        pending, t_cur, k + 1)
+
+            ms = (mine.astype(jnp.int32), t_base, tv, sx, sy, sz, lx, ly, lz,
+                  ncode, found_ph, out_t, out_addr, pending, t_cur,
+                  jnp.int32(0))
+
+            def m_cond(ms):
+                return (ms[-1] < steps_per_phase) & jnp.any(ms[0] != 0)
+
+            def m_wrap(ms):
+                for _ in range(step_unroll):
+                    ms = m_step(ms)
+                return ms
+
+            ms = jax.lax.while_loop(m_cond, m_wrap, ms)
+            (run_i, t_base, tv, _, _, _, lx, ly, lz, ncode,
+             found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
+            running = run_i != 0
+            if stats:
+                n_phase = n_phase + 1
+                n_step = n_step + k_steps
+            exit_t = t_base + F(1e-4) * scale + tv
+            pending = jnp.where(running, region_of(
+                jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
+                jnp.clip(lz, 0, dim_z - 1)), pending)
+            t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
+            return (pending, t_cur, ncode, found_i, out_t, out_addr,
+                    n_phase, n_step)
+
         def phase_body(_, st):
-            (pending, t_cur, ncode, found_ph, out_t, out_addr) = st
+            (pending, t_cur, ncode, found_ph, out_t, out_addr,
+             n_phase, n_step) = st
             found = found_ph != 0
             live = pending >= 0
             # the tile's region this phase: the region of the LEAST-ADVANCED
@@ -467,10 +699,15 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 
             def step_wrap(ss_k):
                 ss, k = ss_k
-                return (step_body(k, ss), k + 1)
+                for _ in range(step_unroll):
+                    ss = step_body(k, ss)
+                return (ss, k + step_unroll)
 
-            ss, _ = jax.lax.while_loop(step_cond, step_wrap,
-                                       (ss, jnp.int32(0)))
+            ss, k_steps = jax.lax.while_loop(step_cond, step_wrap,
+                                             (ss, jnp.int32(0)))
+            if stats:
+                n_phase = n_phase + 1
+                n_step = n_step + k_steps
             (running_i, _, t_base, tv, _, _, _, lx, ly, lz,
              _, _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
              found_i, out_t, out_addr, pending, t_cur) = ss
@@ -484,11 +721,14 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             # budget park: re-init will re-check the current cell (idempotent)
             t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
             return (pending, t_cur, ncode, found.astype(jnp.int32),
-                    out_t, out_addr)
+                    out_t, out_addr, n_phase, n_step)
 
         st = (pend0, t0_in, slab_code,
               jnp.zeros(ox.shape, jnp.int32), jnp.zeros_like(ox),
-              jnp.zeros(ox.shape, jnp.int32))
+              jnp.zeros(ox.shape, jnp.int32),
+              jnp.zeros(ox.shape, jnp.int32), jnp.zeros(ox.shape, jnp.int32))
+
+        chosen_phase = phase_body_split if split else phase_body
 
         def phase_cond(st_k):
             st, k = st_k
@@ -496,26 +736,35 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 
         def phase_wrap(st_k):
             st, k = st_k
-            return (phase_body(k, st), k + 1)
+            return (chosen_phase(k, st), k + 1)
 
         st, _ = jax.lax.while_loop(phase_cond, phase_wrap, (st, jnp.int32(0)))
-        pending, t_cur, ncode, found_i, out_t, out_addr = st
+        (pending, t_cur, ncode, found_i, out_t, out_addr,
+         n_phase, n_step) = st
         found_ref[:] = found_i
         t_ref[:] = out_t
         ncode_ref[:] = ncode
         addr_ref[:] = out_addr
-        pend_ref[:] = pending
+        if stats:
+            # diagnostic build: phases in the t output's integer space is
+            # useless, so repurpose addr (sublane pattern): lane value =
+            # n_phase * 100000 + n_step (both < 100000 in practice)
+            pend_ref[:] = n_phase * 100000 + n_step
+        else:
+            pend_ref[:] = pending
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("static", "max_phases", "steps_per_phase",
-                                   "needs_ignore", "predicated", "interpret"))
+                                   "needs_ignore", "predicated", "stats",
+                                   "step_unroll", "split", "interpret"))
 def trace_tiles_regions(static: GridStatic, region_blocks,
                         ox, oy, oz, dx, dy, dz, t_base, active, ray_key=None,
                         max_phases: int = 128, steps_per_phase: int = 48,
-                        needs_ignore: bool = False, predicated: bool = True,
-                        interpret: bool = False):
+                        needs_ignore: bool = False, predicated: bool = False,
+                        stats: bool = False, step_unroll: int = 2,
+                        split: bool = True, interpret: bool = False):
     """Region-marching tile trace.
 
     Returns dict(found, t, ncode, mat_addr, unfinished) — `unfinished`
@@ -535,7 +784,7 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
     out_shape = (tiles * TILE_SUBLANES, TILE_LANES)
     found, t, ncode, addr, pending = pl.pallas_call(
         _tile_kernel(static, max_phases, steps_per_phase, needs_ignore,
-                     predicated),
+                     predicated, stats, step_unroll, split),
         grid=(tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 9,
         out_specs=[ray_spec] * 5,
@@ -555,9 +804,15 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
       reshape(ox), reshape(oy), reshape(oz),
       reshape(dx), reshape(dy), reshape(dz),
       reshape(t_base), reshape(active.astype(jnp.int32)), reshape(ray_key))
-    return dict(found=found.reshape(n) != 0, t=t.reshape(n),
-                ncode=ncode.reshape(n), mat_addr=addr.reshape(n),
-                unfinished=pending.reshape(n) >= 0)
+    out = dict(found=found.reshape(n) != 0, t=t.reshape(n),
+               ncode=ncode.reshape(n), mat_addr=addr.reshape(n),
+               unfinished=pending.reshape(n) >= 0)
+    if stats:
+        packed = pending.reshape(n)
+        out["n_phase"] = packed // 100000
+        out["n_step"] = packed % 100000
+        out["unfinished"] = jnp.zeros(n, bool)
+    return out
 
 
 def compatible(static: GridStatic) -> bool:
@@ -566,19 +821,66 @@ def compatible(static: GridStatic) -> bool:
     return static.brick_alloc * 64 < (1 << 30)
 
 
+def block_permutation(rows: int, width: int):
+    """Whether rays laid out row-major over a (rows, width) image can be
+    re-tiled into TILE_SUBLANES x TILE_LANES pixel BLOCKS.
+
+    Row-major flattening makes a ray tile a 1-pixel-tall, TILE-wide strip —
+    at 75 deg fov that spans ~40 deg of ray directions, so the tile's lanes
+    march wildly different region sequences and the per-phase step count is
+    set by the most divergent lane (measured ~3x inflation). An 8x128 pixel
+    block covers a ~0.3 x 5 deg bundle instead; lanes march nearly identical
+    region sequences. The permutation is a reshape/transpose (layout copy,
+    no gathers)."""
+    return rows % TILE_SUBLANES == 0 and width % TILE_LANES == 0
+
+
+def _to_blocks(a, rows: int, width: int):
+    v = a.reshape(rows // TILE_SUBLANES, TILE_SUBLANES,
+                  width // TILE_LANES, TILE_LANES)
+    return v.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _from_blocks(a, rows: int, width: int):
+    v = a.reshape(rows // TILE_SUBLANES, width // TILE_LANES,
+                  TILE_SUBLANES, TILE_LANES)
+    return v.transpose(0, 2, 1, 3).reshape(-1)
+
+
 def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
                    ox, oy, oz, dx, dy, dz, active, ray_key=None,
                    max_phases: int = 64, steps_per_phase: int = 48,
-                   needs_ignore: bool = False, predicated: bool = True,
-                   interpret: bool = False):
+                   needs_ignore: bool = False, predicated: bool = False,
+                   stats: bool = False, step_unroll: int = 2,
+                   split: bool = True, interpret: bool = False,
+                   image_shape=None):
     """grid_hit-compatible wrapper over the region tracer (SoA outputs).
 
     Serves every ray class: pass `ray_key` (the per-ray refraction key —
     internal_reflection where ignore_type == MAT_DIELECTRIC, NaN otherwise)
     with needs_ignore=True for refracted bounce rays. Pads the wavefront to
     a TILE multiple internally. Output includes `unfinished` for lanes the
-    phase budget could not retire (callers re-trace those on ops.trace)."""
+    phase budget could not retire (callers re-trace those on ops.trace).
+
+    `image_shape=(rows, width)`: when the rays are row-major over an image
+    whose dims divide the tile shape, lanes are re-tiled into coherent
+    pixel BLOCKS for the trace and un-permuted on output (see
+    block_permutation)."""
     n = ox.shape[0]
+    blocked = (image_shape is not None
+               and image_shape[0] * image_shape[1] == n
+               and block_permutation(image_shape[0], image_shape[1]))
+    if blocked:
+        rows_i, width_i = int(image_shape[0]), int(image_shape[1])
+
+        def blk(a):
+            return _to_blocks(a, rows_i, width_i)
+
+        ox, oy, oz = blk(ox), blk(oy), blk(oz)
+        dx, dy, dz = blk(dx), blk(dy), blk(dz)
+        active = blk(active)
+        if ray_key is not None:
+            ray_key = blk(ray_key)
     pad = (-n) % TILE
 
     def p(a, v=0.0):
@@ -607,8 +909,8 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         if pad else ok,
         ray_key=None if ray_key is None else p(ray_key, np.nan),
         max_phases=max_phases, steps_per_phase=steps_per_phase,
-        needs_ignore=needs_ignore, predicated=predicated,
-        interpret=interpret)
+        needs_ignore=needs_ignore, predicated=predicated, stats=stats,
+        step_unroll=step_unroll, split=split, interpret=interpret)
 
     found = out["found"][:n]
     t = out["t"][:n]
@@ -626,6 +928,12 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
                     arrays.material_indices.shape[0] - 1)
     index = arrays.material_indices[
         jnp.where(found, addr, 0)].astype(jnp.int32)
-    return dict(found=found, t=t, px=px, py=py, pz=pz,
-                nx=nx_, ny=ny_, nz=nz_, index=index,
-                unfinished=out["unfinished"][:n])
+    res = dict(found=found, t=t, px=px, py=py, pz=pz,
+               nx=nx_, ny=ny_, nz=nz_, index=index,
+               unfinished=out["unfinished"][:n])
+    if stats:
+        res["n_phase"] = out["n_phase"]
+        res["n_step"] = out["n_step"]
+    if blocked:
+        res = {k: _from_blocks(v, rows_i, width_i) for k, v in res.items()}
+    return res

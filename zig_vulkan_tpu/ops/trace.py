@@ -123,7 +123,7 @@ _DF_EXACT_RADIUS = 3
 _DF_LEVELS = ((6, 4), (12, 7), (24, 13), (DIST_CAP - 1, 25))
 
 
-def _distance_field(static: GridStatic, loaded):
+def _distance_field(static: GridStatic, loaded, exact: bool = False):
     """Chebyshev distance-to-nearest-loaded-cell, capped at DIST_CAP.
 
     The reference leaves hierarchical acceleration as a TODO
@@ -156,8 +156,12 @@ def _distance_field(static: GridStatic, loaded):
     vol = loaded.reshape(static.dim_y, static.dim_z, static.dim_x)
     dist = jnp.where(vol, jnp.int32(0), jnp.int32(DIST_CAP))
 
-    exact_r = _DF_EXACT_RADIUS
-    levels = _DF_LEVELS  # (radius, floor) pairs, radii strictly increasing
+    # exact=True evaluates every offset (3x the ops, ~10x the time at this
+    # volume): used at scene build where the cost is paid once and larger
+    # skip radii cut steady-state DDA iterations; edits use the fast
+    # conservative build
+    exact_r = DIST_CAP - 1 if exact else _DF_EXACT_RADIUS
+    levels = () if exact else _DF_LEVELS
 
     def shifted(p, axis, off, shape):
         sl = [slice(None)] * 3
@@ -193,7 +197,8 @@ def _distance_field(static: GridStatic, loaded):
     return dist.reshape(-1)
 
 
-def distance_field(static: GridStatic, arrays: GridArrays):
+def distance_field(static: GridStatic, arrays: GridArrays,
+                   exact: bool = False):
     """Standalone skip-field build (see _distance_field). The field depends
     only on which CELLS are loaded (statuses), not on voxel contents, so
     edits that cannot allocate or free bricks (e.g. removals) can reuse a
@@ -201,7 +206,7 @@ def distance_field(static: GridStatic, arrays: GridArrays):
     cells = jnp.arange(static.cells, dtype=jnp.uint32)
     bits = arrays.statuses[(cells // 32).astype(jnp.int32)]
     loaded = ((bits >> (cells % 32)) & jnp.uint32(1)) == 1
-    return _distance_field(static, loaded)
+    return _distance_field(static, loaded, exact=exact)
 
 
 def build_trace_tables(static: GridStatic, arrays: GridArrays, dist=None):
@@ -729,7 +734,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    sun_position, sun_enabled, sun_color, sun_radius,
                    max_steps, tables=None, use_skip=False,
                    region_blocks=None, tile_interpret=False,
-                   tile_max_phases=64):
+                   tile_max_phases=64, image_shape=None):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
@@ -766,12 +771,19 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             return hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key)
         from .tile_tracer import grid_hit_tiles
 
+        # bounce rays scatter in random directions: their tiles serve one
+        # region per phase with low lane utilization, so they need a much
+        # larger phase budget than coherent primary/shadow bundles
+        # (measured: 10% of bounce lanes unfinished at 64 phases, 0% at
+        # 256, ~128ms vs the XLA fallback blowing the frame to ~2s)
+        mp = tile_max_phases if ray_key is None else max(tile_max_phases, 256)
         out = grid_hit_tiles(static, arrays, region_blocks,
                              hox, hoy, hoz, hdx, hdy, hdz, mask,
                              ray_key=ray_key,
                              needs_ignore=ray_key is not None,
-                             max_phases=tile_max_phases,
-                             interpret=tile_interpret)
+                             max_phases=mp,
+                             interpret=tile_interpret,
+                             image_shape=image_shape)
         unfinished = out.pop("unfinished") & mask
 
         def retrace(op):
@@ -1020,7 +1032,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 jnp.asarray(sun_position, dtype=F), sun_enabled,
                 jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
                 max_steps, tables, use_skip, region_blocks, tile_interpret,
-                tile_max_phases)
+                tile_max_phases, image_shape=(band_rows, w))
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 
