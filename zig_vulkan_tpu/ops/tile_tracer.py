@@ -56,6 +56,7 @@ Reference parity: implements GridHit + BrickHit traversal
 from __future__ import annotations
 
 from functools import partial
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -110,12 +111,70 @@ def region_grid(static: GridStatic):
     return _cdiv(static.dim_y, ry), _cdiv(static.dim_z, rz), _cdiv(static.dim_x, rx)
 
 
+class RegionTables(NamedTuple):
+    """The Pallas tracer's scene data: per-region record blocks (DMA'd on
+    demand) + the coarse per-region table (VMEM-resident for roaming)."""
+
+    blocks: Any    # int32[NR, 8, _SUBROWS, 128]
+    coarse: Any    # int32[coarse_rows, 128]: 64|dist packed per region
+
+
+def coarse_rows(static: GridStatic) -> int:
+    ny, nz, nx = region_grid(static)
+    return _cdiv(ny * nz * nx, 128)
+
+
+def _build_coarse(static: GridStatic, loaded_cells):
+    """Per-region packed {nonempty(64) | chebyshev region distance}: the
+    in-VMEM table that lets lanes ROAM across empty regions without
+    parking for a region-block DMA (the coarse level of the two-level
+    acceleration; the reference's TODO 'higher level grid optimization',
+    brick_raytracer.comp:145)."""
+    ny, nz, nx = region_grid(static)
+    ry, rz, rx = REGION_CELLS
+    vol = loaded_cells.reshape(static.dim_y, static.dim_z, static.dim_x)
+    py, pz, px = (ny * ry - static.dim_y, nz * rz - static.dim_z,
+                  nx * rx - static.dim_x)
+    if py or pz or px:
+        vol = jnp.pad(vol, ((0, py), (0, pz), (0, px)))
+    nonempty = vol.reshape(ny, ry, nz, rz, nx, rx).any(axis=(1, 3, 5))
+    # exact separable L-inf distance over the (tiny) region grid, cap 63
+    cap = 63
+    dist = jnp.where(nonempty, jnp.int32(0), jnp.int32(cap))
+
+    def axis_pass(d, axis):
+        out = d
+        n = d.shape[axis]
+        pad_w = [(0, 0)] * 3
+        pad_w[axis] = (n, n)
+        pd = jnp.pad(d, pad_w, constant_values=cap)
+        for k in range(1, min(n, cap)):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(n - k, 2 * n - k)
+            left = pd[tuple(sl)]
+            sl[axis] = slice(n + k, 2 * n + k)
+            right = pd[tuple(sl)]
+            out = jnp.minimum(out, jnp.maximum(
+                jnp.minimum(left, right), k))
+        return out
+
+    for axis in (2, 1, 0):
+        dist = axis_pass(dist, axis)
+    packed = jnp.where(nonempty, jnp.int32(64),
+                       jnp.minimum(dist, cap)).reshape(-1)
+    rows = coarse_rows(static)
+    packed = jnp.pad(packed, (0, rows * 128 - packed.shape[0]),
+                     constant_values=64)
+    return packed.reshape(rows, 128)
+
+
 def build_region_tables(static: GridStatic, arrays: GridArrays, tables=None):
     """Reorder the per-cell records (cells, 8) into region-major blocks
     int32[NR, 8, _SUBROWS, 128]: one DMA-able block per region, each field
-    laid out for 128-lane shuffle lookups. Field 0 packs the material
-    window id with the skip distance (see module docstring); grids whose
-    dims don't divide REGION_CELLS are padded with empty max-skip records
+    laid out for 128-lane shuffle lookups, plus the coarse roaming table —
+    returned together as RegionTables. Field 0 packs the material window
+    id with the skip distance (see module docstring); grids whose dims
+    don't divide REGION_CELLS are padded with empty max-skip records
     (padded cells are outside the DDA's bounds check and never consulted).
     """
     if tables is None:
@@ -145,7 +204,9 @@ def build_region_tables(static: GridStatic, arrays: GridArrays, tables=None):
     vol = vol.transpose(0, 2, 4, 1, 3, 5, 6)
     # local cell id = lx + rx*(lz + rz*ly); fields major for shuffle lookups
     blocks = vol.reshape(ny * nz * nx, _RC, _N_FIELDS).transpose(0, 2, 1)
-    return blocks.reshape(ny * nz * nx, _N_FIELDS, _SUBROWS, 128)
+    blocks = blocks.reshape(ny * nz * nx, _N_FIELDS, _SUBROWS, 128)
+    return RegionTables(blocks=blocks,
+                        coarse=_build_coarse(static, start_raw != -1))
 
 
 def _lookup(block_field, local_idx):
@@ -180,9 +241,12 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
     scale = np.float32(static.scale)
     voxel_scale = np.float32(static.scale / _BD)
 
-    def kernel(blocks_hbm, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tb_ref, act_ref, key_ref, found_ref, t_ref, ncode_ref,
-               addr_ref, pend_ref, scratch, sem):
+    n_regions = ny * nz * nx
+    c_rows = _cdiv(n_regions, 128)
+
+    def kernel(blocks_hbm, coarse_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+               dy_ref, dz_ref, tb_ref, act_ref, key_ref, found_ref, t_ref,
+               ncode_ref, addr_ref, pend_ref, scratch, sem):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         act = act_ref[:] != 0
@@ -239,6 +303,20 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
         def region_of(lx, ly, lz):
             return (lx // rx) + nx * ((lz // rz) + nz * (ly // ry))
 
+        def coarse_lookup(rid_lane):
+            """Per-lane lookup into the VMEM coarse region table."""
+            r = rid_lane // 128
+            c = rid_lane % 128
+            val = jnp.zeros(rid_lane.shape, jnp.int32)
+            for row in range(c_rows):
+                cand = jnp.take_along_axis(
+                    jnp.broadcast_to(coarse_ref[row], rid_lane.shape), c,
+                    axis=1)
+                val = jnp.where(r == row, cand, val)
+            return val
+
+        min_edge = np.int32(min(ry, rz, rx))
+
         # per-lane persistent state across phases
         _, _, _, lx0, ly0, lz0 = grid_init(t0_in)
         in_grid0 = ((lx0 >= 0) & (lx0 < dim_x) & (ly0 >= 0) & (ly0 < dim_y)
@@ -290,13 +368,26 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0)
                            & (ly < dim_y) & (lz >= 0) & (lz < dim_z))
                 exit_t = t_base + F(1e-4) * scale + tv
-                g_park = running & ~in_region & in_grid
+                g_off = running & ~in_region & in_grid
                 g_miss = running & ~in_grid
-                pending = jnp.where(g_park, region_of(lx, ly, lz), pending)
+                # ROAM vs PARK: a lane leaving the tile's region consults
+                # the VMEM coarse table — if its new region holds no loaded
+                # cells it keeps marching region-by-region (plus a
+                # Chebyshev multi-region jump) instead of stalling for a
+                # region-block DMA; only non-empty regions park. This is
+                # what lets incoherent (bounce) rays that escape to the
+                # sky retire in ONE phase.
+                rid_lane = region_of(jnp.clip(lx, 0, dim_x - 1),
+                                     jnp.clip(ly, 0, dim_y - 1),
+                                     jnp.clip(lz, 0, dim_z - 1))
+                cval = coarse_lookup(jnp.clip(rid_lane, 0, n_regions - 1))
+                roam = g_off & (cval < 64)
+                g_park = g_off & ~roam
+                pending = jnp.where(g_park, rid_lane, pending)
                 pending = jnp.where(g_miss, -1, pending)
                 t_cur = jnp.where(g_park, exit_t, t_cur)
                 running = running & ~g_park & ~g_miss
-                g_act = running
+                g_act = running & in_region
 
                 local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
                 local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
@@ -308,6 +399,23 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 new_tb = (cur_t + (dist.astype(F) - F(1.0)) * scale
                           * inv_max_abs)
                 t_base = jnp.where(do_skip, new_tb, t_base)
+                # roaming lanes jump to their (empty) region's exit along
+                # the ray, plus (d-2) regions of guaranteed-empty space
+                # when the coarse Chebyshev distance allows
+                wbx = (gx0 + ((lx // rx) * rx
+                              + jnp.where(stx > 0, rx, 0)).astype(F) * scale)
+                wby = (gy0 + ((ly // ry) * ry
+                              + jnp.where(sty > 0, ry, 0)).astype(F) * scale)
+                wbz = (gz0 + ((lz // rz) * rz
+                              + jnp.where(stz > 0, rz, 0)).astype(F) * scale)
+                trx = jnp.where(stx == 0, F(3e38), (wbx - ox) * ix)
+                try_ = jnp.where(sty == 0, F(3e38), (wby - oy) * iy)
+                trz = jnp.where(stz == 0, F(3e38), (wbz - oz) * iz)
+                roam_exit = jnp.minimum(trx, jnp.minimum(try_, trz))
+                extra = jnp.maximum(cval - 2, 0).astype(F) * F(min_edge)
+                roam_t = roam_exit + extra * scale * inv_max_abs
+                t_base = jnp.where(roam, roam_t, t_base)
+                do_skip = do_skip | roam
                 rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
 
                 def resolve(args):
@@ -779,14 +887,18 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
     def reshape(a):
         return a.reshape(tiles * TILE_SUBLANES, TILE_LANES)
 
+    blocks, coarse = region_blocks.blocks, region_blocks.coarse
     ray_spec = pl.BlockSpec((TILE_SUBLANES, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    coarse_spec = pl.BlockSpec(coarse.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
     out_shape = (tiles * TILE_SUBLANES, TILE_LANES)
     found, t, ncode, addr, pending = pl.pallas_call(
         _tile_kernel(static, max_phases, steps_per_phase, needs_ignore,
                      predicated, stats, step_unroll, split),
         grid=(tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), coarse_spec]
+        + [ray_spec] * 9,
         out_specs=[ray_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
@@ -800,7 +912,7 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(region_blocks,
+    )(blocks, coarse,
       reshape(ox), reshape(oy), reshape(oz),
       reshape(dx), reshape(dy), reshape(dz),
       reshape(t_base), reshape(active.astype(jnp.int32)), reshape(ray_key))
