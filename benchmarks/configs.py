@@ -185,19 +185,37 @@ def config5_multichip_4k(scale: float = 1.0, frames: int = 3) -> Dict:
     stream_s = time.time() - t0
 
     m = pmesh.make_mesh()
+    use_pallas = jax.default_backend() == "tpu"
     step = pmesh.build_sharded_step(
         m, grid.static, width=w, height=h, spp=1, max_bounce=1,
-        sun_enabled=False, denoiser=DenoiserConfig(enabled=False))
+        sun_enabled=False, denoiser=DenoiserConfig(enabled=False),
+        use_pallas=use_pallas)
     arrays_r, mats_r = pmesh.replicate_scene(m, rt.arrays, rt.mats)
-    cam = trace_mod.camera_vectors(rt.camera.d_camera)
+    # cached per-frame inputs: tables built ONCE (exact skip field) and
+    # every constant pre-created — per-frame eager ops/transfers through
+    # the TPU tunnel would otherwise dominate (docs/DESIGN_NOTES.md §6)
+    dist = jax.jit(trace_mod.distance_field, static_argnums=(0, 2))(
+        grid.static, arrays_r, True)
+    tables = jax.jit(trace_mod.build_trace_tables, static_argnums=0)(
+        grid.static, arrays_r, dist)
+    blocks = None
+    if use_pallas:
+        from zig_vulkan_tpu.ops import tile_tracer
+
+        blocks = jax.jit(tile_tracer.build_region_tables, static_argnums=0)(
+            grid.static, arrays_r, tables)
+    cam = {k: jnp.asarray(v) for k, v in
+           trace_mod.camera_vectors(rt.camera.d_camera).items()}
     zeros3 = jnp.zeros(3, jnp.float32)
-    img = step(arrays_r, mats_r, cam, zeros3, jnp.ones(3, jnp.float32),
-               jnp.float32(1.0))
+    ones3 = jnp.ones(3, jnp.float32)
+    one = jnp.float32(1.0)
+    img = step(arrays_r, mats_r, cam, zeros3, ones3, one, tables=tables,
+               region_blocks=blocks)
     np.asarray(img)  # compile+sync
     t0 = time.time()
     for _ in range(frames):
-        img = step(arrays_r, mats_r, cam, zeros3, jnp.ones(3, jnp.float32),
-                   jnp.float32(1.0))
+        img = step(arrays_r, mats_r, cam, zeros3, ones3, one, tables=tables,
+                   region_blocks=blocks)
     np.asarray(img)
     dt = (time.time() - t0) / frames
     return {

@@ -35,6 +35,7 @@ from ..core.materials import MaterialTable
 from ..core.sun import Sun
 from ..ops import denoise as denoise_mod
 from ..ops import trace as trace_mod
+from ..utils import profiling
 from .benchmark import Benchmark
 from .metrics import FrameMetrics
 
@@ -196,14 +197,15 @@ class VoxelRT:
         if self._tables is None:
             # scene-derived traversal records, cached across frames; the
             # skip field is cached separately (removals keep it valid)
-            if self._dist is None:
-                # scene (re)build: pay for the exact field once — larger
-                # skip radii cut steady-state DDA iterations; per-edit
-                # refreshes use the fast conservative build instead
-                self._dist = self._dist_fn(self.grid_static, self.arrays,
-                                           True)
-            self._tables = self._tables_fn(self.grid_static, self.arrays,
-                                           self._dist)
+            with profiling.zone("build_tables"):
+                if self._dist is None:
+                    # scene (re)build: pay for the exact field once —
+                    # larger skip radii cut steady-state DDA iterations;
+                    # per-edit refreshes use the fast conservative build
+                    self._dist = self._dist_fn(self.grid_static,
+                                               self.arrays, True)
+                self._tables = self._tables_fn(self.grid_static,
+                                               self.arrays, self._dist)
         use_pallas = key[-1]
         if use_pallas and self._blocks is None:
             from ..ops import tile_tracer
@@ -211,8 +213,9 @@ class VoxelRT:
             if self._blocks_fn is None:
                 self._blocks_fn = jax.jit(tile_tracer.build_region_tables,
                                           static_argnums=0)
-            self._blocks = self._blocks_fn(self.grid_static, self.arrays,
-                                           self._tables)
+            with profiling.zone("build_region_blocks"):
+                self._blocks = self._blocks_fn(self.grid_static,
+                                               self.arrays, self._tables)
         if self._dummy_blocks is None:
             self._dummy_blocks = jnp.zeros((1,), dtype=F)
         blocks = self._blocks if use_pallas else self._dummy_blocks
@@ -229,12 +232,14 @@ class VoxelRT:
                 self._accum_count = 0
             self._pose_key = pose
             pc = jnp.asarray(self._push_constants())
-            out, self._accum = step(self.arrays, self._tables, blocks,
-                                    self.mats, pc, self._accum)
+            with profiling.zone("render_step"):
+                out, self._accum = step(self.arrays, self._tables, blocks,
+                                        self.mats, pc, self._accum)
             self._accum_count += 1
             return out
         pc = jnp.asarray(self._push_constants())
-        return step(self.arrays, self._tables, blocks, self.mats, pc)
+        with profiling.zone("render_step"):
+            return step(self.arrays, self._tables, blocks, self.mats, pc)
 
     def _push_constants(self) -> np.ndarray:
         """Per-frame dynamic values packed into ONE f32 array (one
@@ -263,8 +268,10 @@ class VoxelRT:
         """Render + record frame metrics (Pipeline.draw analog). Blocks
         until the device finishes so frame times are honest."""
         t0 = time.perf_counter()
-        image = self.render()
-        image.block_until_ready()
+        with profiling.zone("draw"):
+            image = self.render()
+            with profiling.zone("device_sync"):
+                image.block_until_ready()
         elapsed = time.perf_counter() - t0
         self.metrics.record(dt if dt is not None else elapsed)
         return image
@@ -386,18 +393,20 @@ class VoxelRT:
         if self._edit_step is None:
             self._edit_step = jax.jit(
                 apply_edits, static_argnums=0, donate_argnums=1)
-        self.arrays = self._edit_step(
-            self.grid_static, self.arrays, jnp.asarray(pad_xyz),
-            jnp.asarray(pad_mat), jnp.asarray(valid),
-            jnp.asarray(self.materials_host.mtype == 2),
-            jnp.asarray(self.materials_host.type_data))
+        with profiling.zone("edit_insert"):
+            self.arrays = self._edit_step(
+                self.grid_static, self.arrays, jnp.asarray(pad_xyz),
+                jnp.asarray(pad_mat), jnp.asarray(valid),
+                jnp.asarray(self.materials_host.mtype == 2),
+                jnp.asarray(self.materials_host.type_data))
         if self._tables is not None:
             # incremental maintenance (the reference's dirty-range delta
             # protocol, State.zig:14-57): scatter the touched cells' rows
             # + refresh the skip-distance lane; no full table rebuild
-            self._tables, self._dist = self._refresh_insert_fn(
-                self.grid_static, self.arrays, self._tables,
-                jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid))
+            with profiling.zone("refresh_tables_insert"):
+                self._tables, self._dist = self._refresh_insert_fn(
+                    self.grid_static, self.arrays, self._tables,
+                    jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid))
         self._blocks = None  # region-major reorder redone lazily
 
     def remove_voxels(self, xyz) -> None:
@@ -412,9 +421,10 @@ class VoxelRT:
         if self._remove_step is None:
             self._remove_step = jax.jit(
                 remove_edits, static_argnums=0, donate_argnums=1)
-        self.arrays = self._remove_step(
-            self.grid_static, self.arrays, jnp.asarray(pad_xyz),
-            jnp.asarray(valid))
+        with profiling.zone("edit_remove"):
+            self.arrays = self._remove_step(
+                self.grid_static, self.arrays, jnp.asarray(pad_xyz),
+                jnp.asarray(valid))
         if self._tables is not None:
             # removals never free bricks (statuses untouched), so the
             # cached skip field stays valid; only touched rows change

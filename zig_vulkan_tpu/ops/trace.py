@@ -40,6 +40,7 @@ row-sharded over a device mesh (zig_vulkan_tpu.parallel.mesh).
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Any
 
@@ -438,10 +439,16 @@ def _grid_hit_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, t_max,
     # the varying type where jnp.zeros would not
     # (the ray ORIGIN is a replicated broadcast under shard_map; the
     # directions vary per row shard, so derive the seeds from those)
-    zf = (dx + dy) * F(0.0)
-    zi = (stx + sty) ^ (stx + sty)
-    zu = zi.astype(jnp.uint32)
-    zb = zi != zi
+    if _os.environ.get("ZVT_ZERO_SEEDS", "0") == "1":
+        zf = jnp.zeros(n, dtype=F)
+        zi = jnp.zeros(n, dtype=jnp.int32)
+        zu = jnp.zeros(n, dtype=jnp.uint32)
+        zb = jnp.zeros(n, dtype=jnp.bool_)
+    else:
+        zf = (dx + dy) * F(0.0)
+        zi = (stx + sty) ^ (stx + sty)
+        zu = zi.astype(jnp.uint32)
+        zb = zi != zi
     state = dict(
         running=active & slab_ok,
         in_brick=zb,
@@ -768,7 +775,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         wavefront re-trace of any lanes the kernel's phase budget could
         not retire (runtime-skipped when none)."""
         if region_blocks is None:
-            return hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key)
+            with jax.named_scope("traverse_xla"):
+                return hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key)
         from .tile_tracer import grid_hit_tiles
 
         # bounce rays scatter in random directions: their tiles serve one
@@ -777,13 +785,15 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # (measured: 10% of bounce lanes unfinished at 64 phases, 0% at
         # 256, ~128ms vs the XLA fallback blowing the frame to ~2s)
         mp = tile_max_phases if ray_key is None else max(tile_max_phases, 256)
-        out = grid_hit_tiles(static, arrays, region_blocks,
-                             hox, hoy, hoz, hdx, hdy, hdz, mask,
-                             ray_key=ray_key,
-                             needs_ignore=ray_key is not None,
-                             max_phases=mp,
-                             interpret=tile_interpret,
-                             image_shape=image_shape)
+        with jax.named_scope("traverse_tiles"
+                             if ray_key is None else "traverse_tiles_ignore"):
+            out = grid_hit_tiles(static, arrays, region_blocks,
+                                 hox, hoy, hoz, hdx, hdy, hdz, mask,
+                                 ray_key=ray_key,
+                                 needs_ignore=ray_key is not None,
+                                 max_phases=mp,
+                                 interpret=tile_interpret,
+                                 image_shape=image_shape)
         unfinished = out.pop("unfinished") & mask
 
         def retrace(op):
@@ -907,7 +917,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             shy = sun_position[1] + sy_ - py
             shz = sun_position[2] + sz_ - pz
             shx, shy, shz = _norm3(shx, shy, shz)
-            sh = hit_ignore_free(px, py, pz, shx, shy, shz, active)
+            with jax.named_scope("sun_shadow"):
+                sh = hit_ignore_free(px, py, pz, shx, shy, shz, active)
             lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))

@@ -58,7 +58,8 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
                        out_width: Optional[int] = None,
                        out_height: Optional[int] = None,
                        denoiser: DenoiserConfig = DenoiserConfig(),
-                       trace_config: TraceConfig = TraceConfig()):
+                       trace_config: TraceConfig = TraceConfig(),
+                       use_pallas: bool = False):
     """Build a jitted multi-chip render step.
 
     Returns step(arrays, mats, cam, sun_position, sun_color, sun_radius)
@@ -70,39 +71,44 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
     out_w = out_width or width
     out_h = out_height or height
 
-    def trace_shard(arrays, tables, mats, cam, sun_position, sun_color,
-                    sun_radius):
+    def trace_shard(arrays, tables, region_blocks, mats, cam, sun_position,
+                    sun_color, sun_radius):
         tile = jax.lax.axis_index(TILE_AXIS)
         row0 = (tile * rows).astype(F)
+        # the Pallas region tracer tiles rays into 8x128 pixel blocks; use
+        # a single band per shard so the block permutation applies
+        bands = (trace_config.row_bands
+                 if region_blocks is None and rows % trace_config.row_bands == 0
+                 else 1)
         return trace_mod.render_rows(
             static, arrays, mats, cam, width, height, spp, max_bounce,
             sun_position, sun_color, sun_radius, sun_enabled,
             row0=row0, rows=rows, max_steps=trace_config.max_steps,
             tables=tables, use_skip=trace_config.empty_skip,
-            row_bands=(trace_config.row_bands
-                       if rows % trace_config.row_bands == 0 else 1))
+            row_bands=bands, region_blocks=region_blocks)
 
-    # check_vma=False: the DDA while_loop seeds its carry with unvarying
-    # zeros that become tile-varying through the loop body, which the
-    # varying-manual-axes checker rejects; the computation is still purely
-    # per-shard.
+    # check_vma stays ON for the XLA path: the DDA while_loop seeds its
+    # carries from the (tile-varying) ray direction arrays so the
+    # varying-manual-axes checker accepts them (see _grid_hit_soa). The
+    # Pallas path must disable it: pallas_call output avals carry no vma
+    # metadata, which check_vma=True rejects outright.
     sharded_trace = jax.shard_map(
         trace_shard, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS),
-        check_vma=True,
+        check_vma=not use_pallas,
     )
 
     @jax.jit
     def step(arrays, mats, cam, sun_position, sun_color, sun_radius,
-             tables=None):
+             tables=None, region_blocks=None):
         if tables is None:
             # caller didn't pass cached tables: build in-step (one-shot
             # convenience paths); engines/benchmarks pass the cache so the
             # per-frame cost is the trace alone
             tables = trace_mod.build_trace_tables(static, arrays)
-        img = sharded_trace(arrays, tables, mats, cam, sun_position,
-                            sun_color, sun_radius)
+        img = sharded_trace(arrays, tables, region_blocks, mats, cam,
+                            sun_position, sun_color, sun_radius)
         if denoiser.enabled:
             return denoise_mod.denoise(
                 img, samples=int(denoiser.samples),
