@@ -79,7 +79,7 @@ def test_exact_path_matches_oracle_at_scale(scene):
         np.testing.assert_allclose(np.asarray(j["t"])[both], o.t[both],
                                    rtol=1e-5, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(j["index"])[both],
-                                      o.material_index[both])
+                                      o.index[both])
 
 
 def test_skip_path_flip_rate_bounded_at_scale(scene):
