@@ -783,8 +783,13 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # region per phase with low lane utilization, so they need a much
         # larger phase budget than coherent primary/shadow bundles
         # (measured: 10% of bounce lanes unfinished at 64 phases, 0% at
-        # 256, ~128ms vs the XLA fallback blowing the frame to ~2s)
-        mp = tile_max_phases if ray_key is None else max(tile_max_phases, 256)
+        # 256, ~128ms vs the XLA fallback blowing the frame to ~2s).
+        # Budgets are caps, not costs — the phase loop exits early — so
+        # they are sized generously: an XProf trace of the default engine
+        # frame showed 4 of 12 traversals firing the ~35ms XLA fallback
+        # at the tighter round-2 budgets.
+        mp = (max(tile_max_phases, 256) if ray_key is None
+              else max(tile_max_phases, 384))
         with jax.named_scope("traverse_tiles"
                              if ray_key is None else "traverse_tiles_ignore"):
             out = grid_hit_tiles(static, arrays, region_blocks,
