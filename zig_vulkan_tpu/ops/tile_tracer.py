@@ -333,245 +333,278 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             from the loop (measured: see docs/DESIGN_NOTES.md)."""
             (pending, t_cur, ncode, found_ph, out_t, out_addr,
              n_phase, n_step) = st
+            t_off = voxel_scale * F(0.05)
+
+            def serve(rid, scr, st6):
+                (pending, t_cur, ncode, found_i6, out_t, out_addr) = st6
+                mine = (pending >= 0) & (pending == rid)
+                r_y = rid // (nz * nx)
+                r_z = (rid // nx) % nz
+                r_x = rid % nx
+                bx0 = r_x * rx
+                by0 = r_y * ry
+                bz0 = r_z * rz
+                sx, sy, sz, lx, ly, lz = grid_init(t_cur)
+                t_base = t_cur
+                tv = jnp.zeros_like(t_cur)
+
+                def m_step(ms):
+                    (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                     found_i, out_t, out_addr, pending, t_cur, k) = ms
+                    running = run_i != 0
+                    found = found_i != 0
+
+                    in_region = ((lx >= bx0) & (lx < bx0 + rx)
+                                 & (ly >= by0) & (ly < by0 + ry)
+                                 & (lz >= bz0) & (lz < bz0 + rz))
+                    in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0)
+                               & (ly < dim_y) & (lz >= 0) & (lz < dim_z))
+                    exit_t = t_base + F(1e-4) * scale + tv
+                    g_off = running & ~in_region & in_grid
+                    g_miss = running & ~in_grid
+                    # ROAM vs PARK: a lane leaving the tile's region consults
+                    # the VMEM coarse table — if its new region holds no loaded
+                    # cells it keeps marching region-by-region (plus a
+                    # Chebyshev multi-region jump) instead of stalling for a
+                    # region-block DMA; only non-empty regions park. This is
+                    # what lets incoherent (bounce) rays that escape to the
+                    # sky retire in ONE phase.
+                    rid_lane = region_of(jnp.clip(lx, 0, dim_x - 1),
+                                         jnp.clip(ly, 0, dim_y - 1),
+                                         jnp.clip(lz, 0, dim_z - 1))
+                    cval = coarse_lookup(jnp.clip(rid_lane, 0, n_regions - 1))
+                    roam = g_off & (cval < 64)
+                    g_park = g_off & ~roam
+                    pending = jnp.where(g_park, rid_lane, pending)
+                    pending = jnp.where(g_miss, -1, pending)
+                    t_cur = jnp.where(g_park, exit_t, t_cur)
+                    running = running & ~g_park & ~g_miss
+                    g_act = running & in_region
+
+                    local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
+                    local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
+                    packed = _lookup(scr[_F_PACKED], local)
+                    enter = g_act & (packed >= 64)
+                    dist = packed & 63
+                    do_skip = g_act & ~enter & (dist >= 2)
+                    cur_t = t_base + F(1e-4) * scale + tv
+                    new_tb = (cur_t + (dist.astype(F) - F(1.0)) * scale
+                              * inv_max_abs)
+                    t_base = jnp.where(do_skip, new_tb, t_base)
+                    # roaming lanes jump to their (empty) region's exit along
+                    # the ray, plus (d-2) regions of guaranteed-empty space
+                    # when the coarse Chebyshev distance allows
+                    wbx = (gx0 + ((lx // rx) * rx
+                                  + jnp.where(stx > 0, rx, 0)).astype(F) * scale)
+                    wby = (gy0 + ((ly // ry) * ry
+                                  + jnp.where(sty > 0, ry, 0)).astype(F) * scale)
+                    wbz = (gz0 + ((lz // rz) * rz
+                                  + jnp.where(stz > 0, rz, 0)).astype(F) * scale)
+                    trx = jnp.where(stx == 0, F(3e38), (wbx - ox) * ix)
+                    try_ = jnp.where(sty == 0, F(3e38), (wby - oy) * iy)
+                    trz = jnp.where(stz == 0, F(3e38), (wbz - oz) * iz)
+                    roam_exit = jnp.minimum(trx, jnp.minimum(try_, trz))
+                    extra = jnp.maximum(cval - 2, 0).astype(F) * F(min_edge)
+                    roam_t = roam_exit + extra * scale * inv_max_abs
+                    t_base = jnp.where(roam, roam_t, t_base)
+                    do_skip = do_skip | roam
+                    rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+
+                    def resolve(args):
+                        # masks travel as int32 through the cond boundary: bool
+                        # (i1) vectors in scf.if results crash the remote
+                        # Mosaic compiler (same class as the round-1 bool
+                        # loop-carry crash; see module docstring)
+                        (found_i2, out_t, out_addr, ncode, running_i2,
+                         pending) = args
+                        found = found_i2 != 0
+                        running = running_i2 != 0
+                        occ_lo = _lookup(scr[_F_OCC_LO], local).astype(jnp.uint32)
+                        occ_hi = _lookup(scr[_F_OCC_HI], local).astype(jnp.uint32)
+                        if needs_ignore:
+                            dml = _lookup(scr[_F_DML], local).astype(jnp.uint32)
+                            dmh = _lookup(scr[_F_DMH], local).astype(jnp.uint32)
+                            bkey = jax.lax.bitcast_convert_type(
+                                _lookup(scr[_F_IR], local), F)
+                        mat_start = ((packed >> 6) - 1) << 6
+                        entry_t = tv + t_base + F(0.01) * scale
+                        bminx = lx.astype(F) * scale + gx0
+                        bminy = ly.astype(F) * scale + gy0
+                        bminz = lz.astype(F) * scale + gz0
+                        bfx = (ox + dx * entry_t - bminx) / voxel_scale
+                        bfy = (oy + dy * entry_t - bminy) / voxel_scale
+                        bfz = (oz + dz * entry_t - bminz) / voxel_scale
+                        bsx = (stxf * (jnp.floor(bfx) - bfx)
+                               + (stxf * F(0.5) + F(0.5))) * adx
+                        bsy = (styf * (jnp.floor(bfy) - bfy)
+                               + (styf * F(0.5) + F(0.5))) * ady
+                        bsz = (stzf * (jnp.floor(bfz) - bfz)
+                               + (stzf * F(0.5) + F(0.5))) * adz
+                        blx = jnp.floor(bfx).astype(jnp.int32)
+                        bly = jnp.floor(bfy).astype(jnp.int32)
+                        blz = jnp.floor(bfz).astype(jnp.int32)
+                        b_t = jnp.zeros_like(entry_t)
+                        ltm = tmax_all - entry_t
+                        hcode = ncode
+                        alive = enter
+                        bhit = enter & False
+                        bt_hit = jnp.zeros_like(entry_t)
+                        baddr = jnp.zeros(entry_t.shape, jnp.int32)
+                        hit_code = ncode
+                        # a ray visits at most 4+3+3 = 10 voxels of a 4^3 brick
+                        for _sub in range(10):
+                            in_b = ((blx >= 0) & (blx < _BD) & (bly >= 0)
+                                    & (bly < _BD) & (blz >= 0) & (blz < _BD)
+                                    & (b_t <= ltm))
+                            a = alive & in_b
+                            alive = a
+                            vi = blx + _BD * (blz + _BD * bly)
+                            viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
+                            occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
+                            occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
+                            vhit = a & (occ_bit == 1)
+                            if needs_ignore:
+                                d_word = jnp.where(viu < 32, dml, dmh)
+                                d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
+                                vhit = vhit & ~((d_bit == jnp.uint32(1))
+                                                & (bkey == ray_key))
+                            bhit = bhit | vhit
+                            bt_hit = jnp.where(vhit, entry_t + b_t - t_off,
+                                               bt_hit)
+                            baddr = jnp.where(vhit, mat_start + vi, baddr)
+                            hit_code = jnp.where(vhit, hcode, hit_code)
+                            alive = a & ~vhit
+                            bax = (bsx < bsy) & (bsx < bsz)
+                            bay = ~(bsx < bsy) & (bsy < bsz)
+                            baz = ~(bax | bay)
+                            bt_new = jnp.where(bax, bsx,
+                                               jnp.where(bay, bsy, bsz)) * voxel_scale
+                            bsx = jnp.where(alive & bax, bsx + adx, bsx)
+                            bsy = jnp.where(alive & bay, bsy + ady, bsy)
+                            bsz = jnp.where(alive & baz, bsz + adz, bsz)
+                            blx = jnp.where(alive & bax, blx + stx, blx)
+                            bly = jnp.where(alive & bay, bly + sty, bly)
+                            blz = jnp.where(alive & baz, blz + stz, blz)
+                            b_t = jnp.where(alive, bt_new, b_t)
+                            hcode = jnp.where(
+                                alive,
+                                jnp.where(bax, code_x,
+                                          jnp.where(bay, code_y, code_z)),
+                                hcode)
+                        found = found | bhit
+                        out_t = jnp.where(bhit, bt_hit, out_t)
+                        out_addr = jnp.where(bhit, baddr, out_addr)
+                        ncode = jnp.where(bhit, hit_code, ncode)
+                        running = running & ~bhit
+                        pending = jnp.where(bhit, -1, pending)
+                        return (found.astype(jnp.int32), out_t, out_addr, ncode,
+                                running.astype(jnp.int32), pending)
+
+                    (found_i, out_t, out_addr, ncode, running_i, pending) = \
+                        jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
+                                     (found.astype(jnp.int32), out_t, out_addr,
+                                      ncode, running.astype(jnp.int32), pending))
+                    found = found_i != 0
+                    running = running_i != 0
+
+                    # one grid advance: plain march lanes, and entered lanes
+                    # that passed through their brick without a hit (still
+                    # running) step out of the cell exactly like the unified
+                    # kernel's b_exit path
+                    grid_steps = g_act & running & ~do_skip
+                    gax = (sx < sy) & (sx < sz)
+                    gay = ~(sx < sy) & (sy < sz)
+                    gaz = ~(gax | gay)
+                    gt_new = jnp.where(gax, sx, jnp.where(gay, sy, sz)) * scale
+                    sx = jnp.where(grid_steps & gax, sx + adx, sx)
+                    sy = jnp.where(grid_steps & gay, sy + ady, sy)
+                    sz = jnp.where(grid_steps & gaz, sz + adz, sz)
+                    lx = jnp.where(grid_steps & gax, lx + stx, lx)
+                    ly = jnp.where(grid_steps & gay, ly + sty, ly)
+                    lz = jnp.where(grid_steps & gaz, lz + stz, lz)
+                    tv = jnp.where(grid_steps, gt_new, tv)
+                    ncode = jnp.where(
+                        grid_steps,
+                        jnp.where(gax, code_x, jnp.where(gay, code_y, code_z)),
+                        ncode)
+                    sx = jnp.where(do_skip, rsx, sx)
+                    sy = jnp.where(do_skip, rsy, sy)
+                    sz = jnp.where(do_skip, rsz, sz)
+                    lx = jnp.where(do_skip, rlx, lx)
+                    ly = jnp.where(do_skip, rly, ly)
+                    lz = jnp.where(do_skip, rlz, lz)
+                    tv = jnp.where(do_skip, F(0.0), tv)
+
+                    return (running.astype(jnp.int32), t_base, tv,
+                            sx, sy, sz, lx, ly, lz, ncode,
+                            found.astype(jnp.int32), out_t, out_addr,
+                            pending, t_cur, k + 1)
+
+                ms = (mine.astype(jnp.int32), t_base, tv, sx, sy, sz, lx, ly, lz,
+                      ncode, found_i6, out_t, out_addr, pending, t_cur,
+                      jnp.int32(0))
+
+                def m_cond(ms):
+                    return (ms[-1] < steps_per_phase) & jnp.any(ms[0] != 0)
+
+                def m_wrap(ms):
+                    for _ in range(step_unroll):
+                        ms = m_step(ms)
+                    return ms
+
+                ms = jax.lax.while_loop(m_cond, m_wrap, ms)
+                (run_i, t_base, tv, _, _, _, lx, ly, lz, ncode,
+                 found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
+                running = run_i != 0
+                exit_t = t_base + F(1e-4) * scale + tv
+                pending = jnp.where(running, region_of(
+                    jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
+                    jnp.clip(lz, 0, dim_z - 1)), pending)
+                t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
+                return ((pending, t_cur, ncode, found_i, out_t, out_addr),
+                        k_steps)
+
+
+            # Dual-region phase: vote the two most-urgent pending regions
+            # (march order within each), DMA BOTH up front — the second
+            # transfer overlaps serving the first — then serve
+            # sequentially. Coherent tiles usually have a single pending
+            # region (the duplicate DMA is overlapped and serve2 is
+            # skipped by the cond); divergent bounce tiles halve their
+            # phase count.
             live = pending >= 0
             inf_t = jnp.float32(3e38)
             t_live = jnp.where(live, t_cur, inf_t)
             tmin = jnp.min(t_live)
-            rid = jnp.min(jnp.where(live & (t_live <= tmin),
-                                    pending, jnp.int32(ny * nz * nx)))
-            rid = jnp.clip(rid, 0, jnp.int32(ny * nz * nx - 1))
-            dma = pltpu.make_async_copy(blocks_hbm.at[rid], scratch, sem)
-            dma.start()
-            dma.wait()
-
-            mine = live & (pending == rid)
-            r_y = rid // (nz * nx)
-            r_z = (rid // nx) % nz
-            r_x = rid % nx
-            bx0 = r_x * rx
-            by0 = r_y * ry
-            bz0 = r_z * rz
-            sx, sy, sz, lx, ly, lz = grid_init(t_cur)
-            t_base = t_cur
-            tv = jnp.zeros_like(t_cur)
-            t_off = voxel_scale * F(0.05)
-
-            def m_step(ms):
-                (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
-                 found_i, out_t, out_addr, pending, t_cur, k) = ms
-                running = run_i != 0
-                found = found_i != 0
-
-                in_region = ((lx >= bx0) & (lx < bx0 + rx)
-                             & (ly >= by0) & (ly < by0 + ry)
-                             & (lz >= bz0) & (lz < bz0 + rz))
-                in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0)
-                           & (ly < dim_y) & (lz >= 0) & (lz < dim_z))
-                exit_t = t_base + F(1e-4) * scale + tv
-                g_off = running & ~in_region & in_grid
-                g_miss = running & ~in_grid
-                # ROAM vs PARK: a lane leaving the tile's region consults
-                # the VMEM coarse table — if its new region holds no loaded
-                # cells it keeps marching region-by-region (plus a
-                # Chebyshev multi-region jump) instead of stalling for a
-                # region-block DMA; only non-empty regions park. This is
-                # what lets incoherent (bounce) rays that escape to the
-                # sky retire in ONE phase.
-                rid_lane = region_of(jnp.clip(lx, 0, dim_x - 1),
-                                     jnp.clip(ly, 0, dim_y - 1),
-                                     jnp.clip(lz, 0, dim_z - 1))
-                cval = coarse_lookup(jnp.clip(rid_lane, 0, n_regions - 1))
-                roam = g_off & (cval < 64)
-                g_park = g_off & ~roam
-                pending = jnp.where(g_park, rid_lane, pending)
-                pending = jnp.where(g_miss, -1, pending)
-                t_cur = jnp.where(g_park, exit_t, t_cur)
-                running = running & ~g_park & ~g_miss
-                g_act = running & in_region
-
-                local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
-                local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
-                packed = _lookup(scratch[_F_PACKED], local)
-                enter = g_act & (packed >= 64)
-                dist = packed & 63
-                do_skip = g_act & ~enter & (dist >= 2)
-                cur_t = t_base + F(1e-4) * scale + tv
-                new_tb = (cur_t + (dist.astype(F) - F(1.0)) * scale
-                          * inv_max_abs)
-                t_base = jnp.where(do_skip, new_tb, t_base)
-                # roaming lanes jump to their (empty) region's exit along
-                # the ray, plus (d-2) regions of guaranteed-empty space
-                # when the coarse Chebyshev distance allows
-                wbx = (gx0 + ((lx // rx) * rx
-                              + jnp.where(stx > 0, rx, 0)).astype(F) * scale)
-                wby = (gy0 + ((ly // ry) * ry
-                              + jnp.where(sty > 0, ry, 0)).astype(F) * scale)
-                wbz = (gz0 + ((lz // rz) * rz
-                              + jnp.where(stz > 0, rz, 0)).astype(F) * scale)
-                trx = jnp.where(stx == 0, F(3e38), (wbx - ox) * ix)
-                try_ = jnp.where(sty == 0, F(3e38), (wby - oy) * iy)
-                trz = jnp.where(stz == 0, F(3e38), (wbz - oz) * iz)
-                roam_exit = jnp.minimum(trx, jnp.minimum(try_, trz))
-                extra = jnp.maximum(cval - 2, 0).astype(F) * F(min_edge)
-                roam_t = roam_exit + extra * scale * inv_max_abs
-                t_base = jnp.where(roam, roam_t, t_base)
-                do_skip = do_skip | roam
-                rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
-
-                def resolve(args):
-                    # masks travel as int32 through the cond boundary: bool
-                    # (i1) vectors in scf.if results crash the remote
-                    # Mosaic compiler (same class as the round-1 bool
-                    # loop-carry crash; see module docstring)
-                    (found_i2, out_t, out_addr, ncode, running_i2,
-                     pending) = args
-                    found = found_i2 != 0
-                    running = running_i2 != 0
-                    occ_lo = _lookup(scratch[_F_OCC_LO], local).astype(jnp.uint32)
-                    occ_hi = _lookup(scratch[_F_OCC_HI], local).astype(jnp.uint32)
-                    if needs_ignore:
-                        dml = _lookup(scratch[_F_DML], local).astype(jnp.uint32)
-                        dmh = _lookup(scratch[_F_DMH], local).astype(jnp.uint32)
-                        bkey = jax.lax.bitcast_convert_type(
-                            _lookup(scratch[_F_IR], local), F)
-                    mat_start = ((packed >> 6) - 1) << 6
-                    entry_t = tv + t_base + F(0.01) * scale
-                    bminx = lx.astype(F) * scale + gx0
-                    bminy = ly.astype(F) * scale + gy0
-                    bminz = lz.astype(F) * scale + gz0
-                    bfx = (ox + dx * entry_t - bminx) / voxel_scale
-                    bfy = (oy + dy * entry_t - bminy) / voxel_scale
-                    bfz = (oz + dz * entry_t - bminz) / voxel_scale
-                    bsx = (stxf * (jnp.floor(bfx) - bfx)
-                           + (stxf * F(0.5) + F(0.5))) * adx
-                    bsy = (styf * (jnp.floor(bfy) - bfy)
-                           + (styf * F(0.5) + F(0.5))) * ady
-                    bsz = (stzf * (jnp.floor(bfz) - bfz)
-                           + (stzf * F(0.5) + F(0.5))) * adz
-                    blx = jnp.floor(bfx).astype(jnp.int32)
-                    bly = jnp.floor(bfy).astype(jnp.int32)
-                    blz = jnp.floor(bfz).astype(jnp.int32)
-                    b_t = jnp.zeros_like(entry_t)
-                    ltm = tmax_all - entry_t
-                    hcode = ncode
-                    alive = enter
-                    bhit = enter & False
-                    bt_hit = jnp.zeros_like(entry_t)
-                    baddr = jnp.zeros(entry_t.shape, jnp.int32)
-                    hit_code = ncode
-                    # a ray visits at most 4+3+3 = 10 voxels of a 4^3 brick
-                    for _sub in range(10):
-                        in_b = ((blx >= 0) & (blx < _BD) & (bly >= 0)
-                                & (bly < _BD) & (blz >= 0) & (blz < _BD)
-                                & (b_t <= ltm))
-                        a = alive & in_b
-                        alive = a
-                        vi = blx + _BD * (blz + _BD * bly)
-                        viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
-                        occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
-                        occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
-                        vhit = a & (occ_bit == 1)
-                        if needs_ignore:
-                            d_word = jnp.where(viu < 32, dml, dmh)
-                            d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
-                            vhit = vhit & ~((d_bit == jnp.uint32(1))
-                                            & (bkey == ray_key))
-                        bhit = bhit | vhit
-                        bt_hit = jnp.where(vhit, entry_t + b_t - t_off,
-                                           bt_hit)
-                        baddr = jnp.where(vhit, mat_start + vi, baddr)
-                        hit_code = jnp.where(vhit, hcode, hit_code)
-                        alive = a & ~vhit
-                        bax = (bsx < bsy) & (bsx < bsz)
-                        bay = ~(bsx < bsy) & (bsy < bsz)
-                        baz = ~(bax | bay)
-                        bt_new = jnp.where(bax, bsx,
-                                           jnp.where(bay, bsy, bsz)) * voxel_scale
-                        bsx = jnp.where(alive & bax, bsx + adx, bsx)
-                        bsy = jnp.where(alive & bay, bsy + ady, bsy)
-                        bsz = jnp.where(alive & baz, bsz + adz, bsz)
-                        blx = jnp.where(alive & bax, blx + stx, blx)
-                        bly = jnp.where(alive & bay, bly + sty, bly)
-                        blz = jnp.where(alive & baz, blz + stz, blz)
-                        b_t = jnp.where(alive, bt_new, b_t)
-                        hcode = jnp.where(
-                            alive,
-                            jnp.where(bax, code_x,
-                                      jnp.where(bay, code_y, code_z)),
-                            hcode)
-                    found = found | bhit
-                    out_t = jnp.where(bhit, bt_hit, out_t)
-                    out_addr = jnp.where(bhit, baddr, out_addr)
-                    ncode = jnp.where(bhit, hit_code, ncode)
-                    running = running & ~bhit
-                    pending = jnp.where(bhit, -1, pending)
-                    return (found.astype(jnp.int32), out_t, out_addr, ncode,
-                            running.astype(jnp.int32), pending)
-
-                (found_i, out_t, out_addr, ncode, running_i, pending) = \
-                    jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
-                                 (found.astype(jnp.int32), out_t, out_addr,
-                                  ncode, running.astype(jnp.int32), pending))
-                found = found_i != 0
-                running = running_i != 0
-
-                # one grid advance: plain march lanes, and entered lanes
-                # that passed through their brick without a hit (still
-                # running) step out of the cell exactly like the unified
-                # kernel's b_exit path
-                grid_steps = g_act & running & ~do_skip
-                gax = (sx < sy) & (sx < sz)
-                gay = ~(sx < sy) & (sy < sz)
-                gaz = ~(gax | gay)
-                gt_new = jnp.where(gax, sx, jnp.where(gay, sy, sz)) * scale
-                sx = jnp.where(grid_steps & gax, sx + adx, sx)
-                sy = jnp.where(grid_steps & gay, sy + ady, sy)
-                sz = jnp.where(grid_steps & gaz, sz + adz, sz)
-                lx = jnp.where(grid_steps & gax, lx + stx, lx)
-                ly = jnp.where(grid_steps & gay, ly + sty, ly)
-                lz = jnp.where(grid_steps & gaz, lz + stz, lz)
-                tv = jnp.where(grid_steps, gt_new, tv)
-                ncode = jnp.where(
-                    grid_steps,
-                    jnp.where(gax, code_x, jnp.where(gay, code_y, code_z)),
-                    ncode)
-                sx = jnp.where(do_skip, rsx, sx)
-                sy = jnp.where(do_skip, rsy, sy)
-                sz = jnp.where(do_skip, rsz, sz)
-                lx = jnp.where(do_skip, rlx, lx)
-                ly = jnp.where(do_skip, rly, ly)
-                lz = jnp.where(do_skip, rlz, lz)
-                tv = jnp.where(do_skip, F(0.0), tv)
-
-                return (running.astype(jnp.int32), t_base, tv,
-                        sx, sy, sz, lx, ly, lz, ncode,
-                        found.astype(jnp.int32), out_t, out_addr,
-                        pending, t_cur, k + 1)
-
-            ms = (mine.astype(jnp.int32), t_base, tv, sx, sy, sz, lx, ly, lz,
-                  ncode, found_ph, out_t, out_addr, pending, t_cur,
-                  jnp.int32(0))
-
-            def m_cond(ms):
-                return (ms[-1] < steps_per_phase) & jnp.any(ms[0] != 0)
-
-            def m_wrap(ms):
-                for _ in range(step_unroll):
-                    ms = m_step(ms)
-                return ms
-
-            ms = jax.lax.while_loop(m_cond, m_wrap, ms)
-            (run_i, t_base, tv, _, _, _, lx, ly, lz, ncode,
-             found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
-            running = run_i != 0
+            nr_i = jnp.int32(ny * nz * nx)
+            rid1 = jnp.min(jnp.where(live & (t_live <= tmin), pending, nr_i))
+            rid1 = jnp.clip(rid1, 0, nr_i - 1)
+            other = live & (pending != rid1)
+            t2 = jnp.where(other, t_cur, inf_t)
+            tmin2 = jnp.min(t2)
+            rid2_raw = jnp.min(jnp.where(other & (t2 <= tmin2), pending,
+                                         nr_i))
+            has2 = rid2_raw < nr_i
+            rid2 = jnp.clip(rid2_raw, 0, nr_i - 1)
+            dma1 = pltpu.make_async_copy(blocks_hbm.at[rid1],
+                                         scratch.at[0], sem.at[0])
+            dma2 = pltpu.make_async_copy(blocks_hbm.at[rid2],
+                                         scratch.at[1], sem.at[1])
+            dma1.start()
+            dma2.start()
+            dma1.wait()
+            st6 = (pending, t_cur, ncode, found_ph, out_t, out_addr)
+            st6, k1 = serve(rid1, scratch.at[0], st6)
+            # the second block arrived while the first was being served;
+            # ALWAYS wait (semaphore bookkeeping must pair with the start)
+            dma2.wait()
+            st6, k2 = jax.lax.cond(
+                has2, lambda s: serve(rid2, scratch.at[1], s),
+                lambda s: (s, jnp.int32(0)), st6)
+            (pending, t_cur, ncode, found_i, out_t, out_addr) = st6
             if stats:
-                n_phase = n_phase + 1
-                n_step = n_step + k_steps
-            exit_t = t_base + F(1e-4) * scale + tv
-            pending = jnp.where(running, region_of(
-                jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
-                jnp.clip(lz, 0, dim_z - 1)), pending)
-            t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
+                n_phase = n_phase + 1 + has2.astype(jnp.int32)
+                n_step = n_step + k1 + k2
             return (pending, t_cur, ncode, found_i, out_t, out_addr,
                     n_phase, n_step)
 
@@ -907,10 +940,13 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
-        scratch_shapes=[
+        scratch_shapes=([
+            pltpu.VMEM((2, _N_FIELDS, _SUBROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if split else [
             pltpu.VMEM((_N_FIELDS, _SUBROWS, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ]),
         interpret=interpret,
     )(blocks, coarse,
       reshape(ox), reshape(oy), reshape(oz),
