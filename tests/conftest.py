@@ -12,6 +12,9 @@ must be overridden at the jax.config level before any backend initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# small ray tiles on CPU: the Pallas kernels run interpret=True in tests
+# and 24-sublane tiles triple the interpreted work for no coverage gain
+os.environ.setdefault("ZVT_TILE_SUBLANES", "8")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -74,8 +74,12 @@ _BD = BRICK_DIMENSION
 TILE_LANES = 128
 # sublanes per ray tile: wider tiles amortize per-phase overhead (DMA,
 # vote, cursor re-init) over more rays at the cost of more divergence in
-# the region vote. ZVT_TILE_SUBLANES overrides for tuning runs.
-TILE_SUBLANES = int(__import__("os").environ.get("ZVT_TILE_SUBLANES", "8"))
+# the region vote. 24 won the hardware sweep once dual-region phases and
+# roaming cut the divergence penalty (57.9 vs 65 ms/frame at 8); tests
+# pin 8 via ZVT_TILE_SUBLANES (conftest) to keep interpret mode cheap.
+# Image heights must divide TILE_SUBLANES for the pixel-block permutation
+# (1080, 576, 720, 480 all divide 24); other heights fall back to strips.
+TILE_SUBLANES = int(__import__("os").environ.get("ZVT_TILE_SUBLANES", "24"))
 TILE = TILE_SUBLANES * TILE_LANES
 
 # region edge lengths in grid cells (y, z, x); the record block for one
