@@ -104,6 +104,10 @@ _F_DMH = 4      # dielectric mask word 1
 _F_IR = 5       # bitcast f32 brick ir (NaN = none/conflict)
 _N_FIELDS = 8   # padded to 8 for DMA-friendly power-of-two blocks
 
+# regions served per phase in the split kernel (voted in march order, all
+# DMA'd up front, served sequentially). ZVT_N_SERVE overrides for tuning.
+_N_SERVE = int(__import__("os").environ.get("ZVT_N_SERVE", "2"))
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -569,46 +573,54 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                         k_steps)
 
 
-            # Dual-region phase: vote the two most-urgent pending regions
-            # (march order within each), DMA BOTH up front — the second
-            # transfer overlaps serving the first — then serve
+            # Multi-region phase: vote the N_SERVE most-urgent pending
+            # regions (march order within each), DMA them ALL up front —
+            # later transfers overlap serving earlier regions — then serve
             # sequentially. Coherent tiles usually have a single pending
-            # region (the duplicate DMA is overlapped and serve2 is
-            # skipped by the cond); divergent bounce tiles halve their
-            # phase count.
+            # region (duplicate DMAs are overlapped and the extra serves
+            # are skipped by their conds); divergent bounce tiles cut
+            # their phase count by up to N_SERVE.
             live = pending >= 0
             inf_t = jnp.float32(3e38)
-            t_live = jnp.where(live, t_cur, inf_t)
-            tmin = jnp.min(t_live)
             nr_i = jnp.int32(ny * nz * nx)
-            rid1 = jnp.min(jnp.where(live & (t_live <= tmin), pending, nr_i))
-            rid1 = jnp.clip(rid1, 0, nr_i - 1)
-            other = live & (pending != rid1)
-            t2 = jnp.where(other, t_cur, inf_t)
-            tmin2 = jnp.min(t2)
-            rid2_raw = jnp.min(jnp.where(other & (t2 <= tmin2), pending,
-                                         nr_i))
-            has2 = rid2_raw < nr_i
-            rid2 = jnp.clip(rid2_raw, 0, nr_i - 1)
-            dma1 = pltpu.make_async_copy(blocks_hbm.at[rid1],
-                                         scratch.at[0], sem.at[0])
-            dma2 = pltpu.make_async_copy(blocks_hbm.at[rid2],
-                                         scratch.at[1], sem.at[1])
-            dma1.start()
-            dma2.start()
-            dma1.wait()
+            rids = []
+            hases = []
+            excluded = jnp.zeros_like(live)
+            for _v in range(_N_SERVE):
+                cand = live & ~excluded
+                tv_ = jnp.where(cand, t_cur, inf_t)
+                tmin_ = jnp.min(tv_)
+                raw = jnp.min(jnp.where(cand & (tv_ <= tmin_), pending,
+                                        nr_i))
+                hases.append(raw < nr_i)
+                rid_v = jnp.clip(raw, 0, nr_i - 1)
+                rids.append(rid_v)
+                excluded = excluded | (pending == rid_v)
+            dmas = [pltpu.make_async_copy(blocks_hbm.at[rids[i]],
+                                          scratch.at[i], sem.at[i])
+                    for i in range(_N_SERVE)]
+            for d in dmas:
+                d.start()
             st6 = (pending, t_cur, ncode, found_ph, out_t, out_addr)
-            st6, k1 = serve(rid1, scratch.at[0], st6)
-            # the second block arrived while the first was being served;
-            # ALWAYS wait (semaphore bookkeeping must pair with the start)
-            dma2.wait()
-            st6, k2 = jax.lax.cond(
-                has2, lambda s: serve(rid2, scratch.at[1], s),
-                lambda s: (s, jnp.int32(0)), st6)
+            k_total = jnp.int32(0)
+            n_served = jnp.int32(0)
+            for i in range(_N_SERVE):
+                # ALWAYS wait (semaphore bookkeeping must pair with start);
+                # blocks for later serves arrived during earlier ones
+                dmas[i].wait()
+                if i == 0:
+                    st6, k_i = serve(rids[0], scratch.at[0], st6)
+                else:
+                    st6, k_i = jax.lax.cond(
+                        hases[i],
+                        lambda s, _i=i: serve(rids[_i], scratch.at[_i], s),
+                        lambda s: (s, jnp.int32(0)), st6)
+                k_total = k_total + k_i
+                n_served = n_served + hases[i].astype(jnp.int32)
             (pending, t_cur, ncode, found_i, out_t, out_addr) = st6
             if stats:
-                n_phase = n_phase + 1 + has2.astype(jnp.int32)
-                n_step = n_step + k1 + k2
+                n_phase = n_phase + n_served
+                n_step = n_step + k_total
             return (pending, t_cur, ncode, found_i, out_t, out_addr,
                     n_phase, n_step)
 
@@ -945,8 +957,8 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
         scratch_shapes=([
-            pltpu.VMEM((2, _N_FIELDS, _SUBROWS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_SERVE, _N_FIELDS, _SUBROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((_N_SERVE,)),
         ] if split else [
             pltpu.VMEM((_N_FIELDS, _SUBROWS, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
