@@ -843,10 +843,22 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
-        alb = mats.albedo[mat_idx]               # one row gather per bounce
-        ar, ag, ab = alb[:, 0], alb[:, 1], alb[:, 2]
-        mtype = mats.mtype[mat_idx]
-        type_data = mats.type_data[mat_idx]
+        if region_blocks is not None:
+            # material table resolution through the Pallas VMEM-table
+            # lookup (~1.2 G lookups/s) instead of three XLA gathers at
+            # ~0.1 G/s — tens of ms per full frame (ops/lookup.py)
+            from . import lookup as lookup_mod
+
+            ar, ag, ab, mtype_f, type_data = lookup_mod.table_lookup(
+                (mats.albedo[:, 0], mats.albedo[:, 1], mats.albedo[:, 2],
+                 mats.mtype.astype(F), mats.type_data),
+                mat_idx, interpret=tile_interpret)
+            mtype = mtype_f.astype(jnp.int32)
+        else:
+            alb = mats.albedo[mat_idx]           # one row gather per bounce
+            ar, ag, ab = alb[:, 0], alb[:, 1], alb[:, 2]
+            mtype = mats.mtype[mat_idx]
+            type_data = mats.type_data[mat_idx]
         is_emissive = mtype == MAT_EMISSIVE
         known = (mtype <= MAT_DIELECTRIC) | is_emissive
         loop_count = loop_count + (active & known).astype(jnp.int32)
