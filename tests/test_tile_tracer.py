@@ -177,6 +177,191 @@ def test_dielectric_bounces_match_xla():
     assert (diff > 1e-3).mean() < 0.01, float((diff > 1e-3).mean())
 
 
+@pytest.mark.parametrize("n_serve", [2, 4])
+def test_concurrent_serve_matches_xla(n_serve):
+    """The concurrent multi-region serve (round 3, incoherent-ray path)
+    must agree with the XLA tracer exactly like the sequential serve."""
+    grid, mats_t = multi_region_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+    from zig_vulkan_tpu.ops.tile_tracer import grid_hit_tiles
+
+    # a low pose so rays graze the terrain and cross many regions
+    ro, rd = _rays(st, (16.0, 8.0, 40.0))
+    n = ro.shape[0]
+    ref = trace.grid_hit(st, arrays, mats, jnp.asarray(ro), jnp.asarray(rd),
+                         jnp.float32(np.inf), jnp.full(n, 3, jnp.int32),
+                         jnp.ones(n, jnp.float32), jnp.ones(n, bool),
+                         use_skip=True, needs_ignore=False, tables=tables)
+    got = grid_hit_tiles(
+        st, arrays, blocks,
+        jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+        jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+        jnp.ones(n, bool), max_phases=256, interpret=True,
+        concurrent=True, n_serve=n_serve)
+    assert not np.asarray(got["unfinished"]).any()
+    f_r, f_g = np.asarray(ref["found"]), np.asarray(got["found"])
+    agree = (f_r == f_g).mean()
+    assert agree > 0.99, (n_serve, agree)
+    both = f_r & f_g
+    np.testing.assert_allclose(np.asarray(got["t"])[both],
+                               np.asarray(ref["t"])[both], atol=5e-2)
+
+
+def test_concurrent_bounce_path_matches_sequential():
+    """Full path trace with the engine-side routing (bounce classes ->
+    concurrent serve) vs the all-sequential round-2 behavior."""
+    grid, mats_t = dielectric_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+
+    ro, rd = _rays(st, (16.0, 25.0, 70.0))
+    args = (st, arrays, mats,
+            jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+            jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+            3,
+            jnp.asarray([0.0, 900.0, 0.0], jnp.float32), True,
+            jnp.asarray([1.0, 1.1, 1.0], jnp.float32), jnp.float32(5.0))
+    ref = trace._ray_color_soa(*args, 768, tables, True)
+    # region_blocks enabled: bounce classes route through concurrent serve
+    got = trace._ray_color_soa(*args, 768, tables, True,
+                               region_blocks=blocks, tile_interpret=True)
+    diff = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.01, float((diff > 1e-3).mean())
+
+
+def test_refresh_region_tables_matches_full_rebuild():
+    """Incremental patching of the region-major tables after insert AND
+    remove batches must equal a from-scratch rebuild (config-3 path:
+    the engine no longer drops the blocks per edit batch)."""
+    from zig_vulkan_tpu.core.grid import apply_edits, remove_edits
+    from zig_vulkan_tpu.ops.tile_tracer import (
+        build_region_tables, refresh_region_tables)
+
+    grid, mats_t = multi_region_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+
+    rng = np.random.default_rng(7)
+    n = 64
+    vx, vy, vz = st.voxel_dims
+    xyz = np.stack([rng.integers(0, vx, n), rng.integers(0, vy, n),
+                    rng.integers(0, vz, n)], axis=-1).astype(np.int32)
+    mats_e = rng.integers(1, 8, n).astype(np.uint8)
+    valid = np.ones(n, dtype=bool)
+
+    arrays2 = apply_edits(st, arrays, jnp.asarray(xyz), jnp.asarray(mats_e),
+                          jnp.asarray(valid),
+                          jnp.asarray(mats_t.mtype == 2),
+                          jnp.asarray(mats_t.type_data))
+    # cell ids with the engine's Y-flip (engine._cells_of)
+    fy = (vy - 1) - xyz[:, 1]
+    cells = (xyz[:, 0] // 4 + st.dim_x * ((xyz[:, 2] // 4)
+                                          + st.dim_z * (fy // 4))).astype(np.int32)
+    tables2, dist2 = trace.refresh_tables_after_insert(
+        st, arrays2, tables, jnp.asarray(cells), jnp.asarray(valid))
+    got = refresh_region_tables(st, blocks, tables2, jnp.asarray(cells),
+                                jnp.asarray(valid), repack=True)
+    ref = build_region_tables(st, arrays2, tables2)
+    np.testing.assert_array_equal(np.asarray(got.blocks),
+                                  np.asarray(ref.blocks))
+    np.testing.assert_array_equal(np.asarray(got.coarse),
+                                  np.asarray(ref.coarse))
+
+    # removal path: repack=False must still match a full rebuild, and must
+    # touch only O(edits) block entries (the verdict's dirty-range bar)
+    rm = xyz[: n // 2]
+    rm_valid = np.ones(rm.shape[0], dtype=bool)
+    arrays3 = remove_edits(st, arrays2, jnp.asarray(rm), jnp.asarray(rm_valid))
+    rm_cells = cells[: n // 2]
+    tables3 = trace.refresh_tables_after_remove(
+        st, arrays3, tables2, dist2, jnp.asarray(rm_cells),
+        jnp.asarray(rm_valid))
+    got3 = refresh_region_tables(st, got, tables3, jnp.asarray(rm_cells),
+                                 jnp.asarray(rm_valid), repack=False)
+    ref3 = build_region_tables(st, arrays3, tables3)
+    np.testing.assert_array_equal(np.asarray(got3.blocks),
+                                  np.asarray(ref3.blocks))
+    changed = (np.asarray(got3.blocks) != np.asarray(got.blocks)).sum()
+    # <= 5 patched fields per edited cell — O(edits), not O(scene)
+    assert changed <= 5 * rm.shape[0], int(changed)
+
+
+_SHIPPED_TILE_SCRIPT = r"""
+import os
+import numpy as np
+import jax.numpy as jnp
+
+from zig_vulkan_tpu.ops import trace
+from zig_vulkan_tpu.ops import tile_tracer as tl
+from tests.test_tile_tracer import multi_region_scene, _rays
+
+assert tl.TILE_SUBLANES == 24, tl.TILE_SUBLANES
+
+grid, mats_t = multi_region_scene()
+st = grid.static
+arrays = grid.device_arrays()
+mats = trace.materials_to_device(mats_t)
+tables = trace.build_trace_tables(st, arrays)
+blocks = tl.build_region_tables(st, arrays, tables)
+
+for (w, h) in [(128, 48), (128, 20)]:
+    # 48 rows: divides 24 -> the shipped pixel-BLOCK permutation engages.
+    # 20 rows: does NOT divide 24 -> strip-tiling fallback (+ lane padding:
+    # 2560 rays padded up to the 3072-lane tile).
+    ro, rd = _rays(st, (16.0, 25.0, 70.0), w=w, h=h)
+    n = ro.shape[0]
+    ref = trace.grid_hit(st, arrays, mats, jnp.asarray(ro), jnp.asarray(rd),
+                         jnp.float32(np.inf), jnp.full(n, 3, jnp.int32),
+                         jnp.ones(n, jnp.float32), jnp.ones(n, bool),
+                         use_skip=True, needs_ignore=False, tables=tables)
+    got = tl.grid_hit_tiles(
+        st, arrays, blocks,
+        jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+        jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+        jnp.ones(n, bool), max_phases=256, interpret=True,
+        image_shape=(h, w))
+    assert not np.asarray(got["unfinished"]).any(), (w, h)
+    f_r, f_g = np.asarray(ref["found"]), np.asarray(got["found"])
+    agree = (f_r == f_g).mean()
+    assert agree > 0.99, ((w, h), agree)
+    both = f_r & f_g
+    np.testing.assert_allclose(np.asarray(got["t"])[both],
+                               np.asarray(ref["t"])[both], atol=5e-2)
+    print(f"OK {w}x{h} agree={agree:.4f}")
+print("SHIPPED_TILE_OK")
+"""
+
+
+def test_shipped_tile_sublanes_24_and_strip_fallback():
+    """The production default TILE_SUBLANES=24 (and the strip-tiling
+    fallback for heights that don't divide it) had zero CI coverage — the
+    conftest pins 8 for interpret-mode speed (round-2 verdict item 5).
+    Runs the check in a subprocess so tile_tracer imports with the
+    SHIPPED configuration."""
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ)
+    env["ZVT_TILE_SUBLANES"] = "24"
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c", _SHIPPED_TILE_SCRIPT],
+        cwd=__import__("os").path.dirname(__import__("os").path.dirname(
+            __import__("os").path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "SHIPPED_TILE_OK" in res.stdout, res.stdout
+
+
 def test_unfinished_lanes_reported_and_retraced():
     """A starved phase budget must flag lanes as unfinished (not shade them
     as background), and the render path must re-trace them on the XLA

@@ -104,6 +104,7 @@ class VoxelRT:
             trace_mod.refresh_tables_after_insert, static_argnums=0)
         self._refresh_remove_fn = jax.jit(
             trace_mod.refresh_tables_after_remove, static_argnums=0)
+        self._refresh_blocks_fn = None
 
         # temporal accumulation (superset; BASELINE config 4): running
         # average of traced frames while the camera/sun pose is static,
@@ -407,7 +408,7 @@ class VoxelRT:
                 self._tables, self._dist = self._refresh_insert_fn(
                     self.grid_static, self.arrays, self._tables,
                     jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid))
-        self._blocks = None  # region-major reorder redone lazily
+        self._refresh_blocks(pad_xyz, valid, repack=True)
 
     def remove_voxels(self, xyz) -> None:
         """Functional voxel removal (superset; BASELINE config 3)."""
@@ -431,7 +432,27 @@ class VoxelRT:
             self._tables = self._refresh_remove_fn(
                 self.grid_static, self.arrays, self._tables, self._dist,
                 jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid))
-        self._blocks = None
+        self._refresh_blocks(pad_xyz, valid, repack=False)
+
+    def _refresh_blocks(self, pad_xyz, valid, repack: bool) -> None:
+        """Incrementally patch the Pallas region tables after an edit batch
+        (tile_tracer.refresh_region_tables) instead of dropping them for a
+        full rebuild — the round-2 verdict's config-3 cost. If blocks were
+        never built (XLA path), stay lazy."""
+        if self._blocks is None or self._tables is None:
+            self._blocks = None
+            return
+        from ..ops import tile_tracer
+
+        if self._refresh_blocks_fn is None:
+            self._refresh_blocks_fn = jax.jit(
+                tile_tracer.refresh_region_tables, static_argnums=(0, 5),
+                donate_argnums=1)
+        with profiling.zone("refresh_region_blocks"):
+            self._blocks = self._refresh_blocks_fn(
+                self.grid_static, self._blocks, self._tables,
+                jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid),
+                repack)
 
     # -- benchmark (reference VoxelRT.createBenchmark, VoxelRT.zig:72-74) --------
 
@@ -441,8 +462,15 @@ class VoxelRT:
 
     def run_benchmark(self, duration: float = 60.0,
                       max_frames: Optional[int] = None,
-                      verbose: bool = True) -> Benchmark:
-        """Run the fly-through to completion (ImguiGui.zig:154-163 loop)."""
+                      verbose: bool = True,
+                      fixed_dt: Optional[float] = None) -> Benchmark:
+        """Run the fly-through to completion (ImguiGui.zig:154-163 loop).
+
+        `fixed_dt`: advance the benchmark path by this fixed virtual dt
+        per frame instead of wall time — the full 60-second path is then
+        covered in duration/fixed_dt frames regardless of hardware speed,
+        while the report records MEASURED frame times (round-2 verdict
+        item 7: the full-length report must say how many frames back it)."""
         bench = self.create_benchmark(duration)
         self.render().block_until_ready()  # warm the jit cache outside timing
         frames = 0
@@ -452,9 +480,11 @@ class VoxelRT:
             now = time.perf_counter()
             dt = now - prev
             prev = now
-            self.update_sun(dt)
+            path_dt = fixed_dt if fixed_dt is not None else dt
+            self.update_sun(path_dt)
             self.draw(dt)
-            done = bench.update(dt if frames > 0 else 1e-3)
+            done = bench.update(path_dt if frames > 0 else 1e-3,
+                                record_dt=dt)
             frames += 1
         self.camera.reset()
         if verbose:

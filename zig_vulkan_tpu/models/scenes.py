@@ -106,6 +106,46 @@ def default_scene(vox_path: Optional[str] = None,
     return Scene(grid=grid, materials=materials)
 
 
+SCENE_CACHE_VERSION = 3  # bump when default_scene() or GridArrays change
+
+
+def cached_default_scene(cache_path: str,
+                         version: int = SCENE_CACHE_VERSION) -> Scene:
+    """default_scene() with a host-side .npz cache (the full 512x256x512
+    build costs ~80 s of host time; a cache load costs ~1 s). Used by the
+    benchmark/fly-through harnesses; rebuilds on miss, version mismatch,
+    or an unreadable file, and never fails on cache-write errors."""
+    import os
+    import sys
+
+    from ..io import scene_io
+
+    if os.path.exists(cache_path):
+        try:
+            with np.load(cache_path) as z:
+                ver = int(z["cache_version"]) if "cache_version" in z.files else 0
+            if ver == version:
+                grid, materials = scene_io.load_scene(cache_path)
+                return Scene(grid=grid, materials=materials)
+            print(f"# scene cache stale (v{ver} != v{version}); rebuilding",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# scene cache unreadable ({e!r}); rebuilding",
+                  file=sys.stderr)
+    sc = default_scene()
+    try:
+        scene_io.save_scene(cache_path, sc.grid.static, sc.grid.arrays,
+                            sc.materials)
+        with np.load(cache_path) as z:
+            payload = {k: z[k] for k in z.files}
+        payload["cache_version"] = np.int64(version)
+        np.savez_compressed(cache_path, **payload)
+    except Exception as e:
+        print(f"# scene cache write failed ({e!r}); continuing",
+              file=sys.stderr)
+    return sc
+
+
 def flat_test_scene(dim: int = 16, fill_material: int = 1,
                     scale: float = 1.0) -> Scene:
     """A small dense slab scene for oracle/parity tests (BASELINE config 1)."""

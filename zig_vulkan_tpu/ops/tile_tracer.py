@@ -95,6 +95,22 @@ REGION_CELLS = (tuple(int(v) for v in _rc_env.split(","))
 _RC = REGION_CELLS[0] * REGION_CELLS[1] * REGION_CELLS[2]
 _SUBROWS = max(1, _RC // 128)
 
+# the env knobs change BOTH the table layout and the compiled kernel;
+# validate once here so a bad value fails loudly at import, and
+# trace_tiles_regions additionally asserts that the RegionTables it is
+# handed were built under the layout this module was imported with (tables
+# pickled/shared across processes with different env settings would
+# otherwise be silently misinterpreted).
+if TILE_SUBLANES < 1:
+    raise ValueError(f"ZVT_TILE_SUBLANES must be >= 1, got {TILE_SUBLANES}")
+if len(REGION_CELLS) != 3 or any(v < 1 for v in REGION_CELLS):
+    raise ValueError(f"ZVT_REGION_CELLS must be 3 positive ints (y,z,x), "
+                     f"got {REGION_CELLS}")
+if _RC % 128 != 0:
+    raise ValueError(f"ZVT_REGION_CELLS volume must be a multiple of 128 "
+                     f"(the shuffle-lookup lane width), got {REGION_CELLS} "
+                     f"= {_RC} cells")
+
 # region-block field indices
 _F_PACKED = 0   # ((material window + 1) << 6) | chebyshev skip dist
 _F_OCC_LO = 1
@@ -107,6 +123,8 @@ _N_FIELDS = 8   # padded to 8 for DMA-friendly power-of-two blocks
 # regions served per phase in the split kernel (voted in march order, all
 # DMA'd up front, served sequentially). ZVT_N_SERVE overrides for tuning.
 _N_SERVE = int(__import__("os").environ.get("ZVT_N_SERVE", "2"))
+if _N_SERVE < 1:
+    raise ValueError(f"ZVT_N_SERVE must be >= 1, got {_N_SERVE}")
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -217,6 +235,77 @@ def build_region_tables(static: GridStatic, arrays: GridArrays, tables=None):
                         coarse=_build_coarse(static, start_raw != -1))
 
 
+def _cells_to_region_local(static: GridStatic, cells):
+    """Map flat cell ids (x + dim_x*(z + dim_z*y), core.grid layout) to
+    (region id, local cell id) in the region-major block layout."""
+    ny, nz, nx = region_grid(static)
+    ry, rz, rx = REGION_CELLS
+    x = cells % static.dim_x
+    zc = (cells // static.dim_x) % static.dim_z
+    y = cells // (static.dim_x * static.dim_z)
+    nr = x // rx + nx * ((zc // rz) + nz * (y // ry))
+    lc = (x % rx) + rx * ((zc % rz) + rz * (y % ry))
+    return nr, lc
+
+
+def _packed_region_major(static: GridStatic, packed_flat):
+    """Reorder a per-cell int32 field into the region-major layout
+    int32[NR, _SUBROWS, 128] (the layout of one block field)."""
+    ny, nz, nx = region_grid(static)
+    ry, rz, rx = REGION_CELLS
+    vol = packed_flat.reshape(static.dim_y, static.dim_z, static.dim_x)
+    py, pz, px = (ny * ry - static.dim_y, nz * rz - static.dim_z,
+                  nx * rx - static.dim_x)
+    if py or pz or px:
+        vol = jnp.pad(vol, ((0, py), (0, pz), (0, px)),
+                      constant_values=63)  # empty + max skip; never read
+    vol = vol.reshape(ny, ry, nz, rz, nx, rx).transpose(0, 2, 4, 1, 3, 5)
+    return vol.reshape(ny * nz * nx, _SUBROWS, 128)
+
+
+def refresh_region_tables(static: GridStatic, region_tables: "RegionTables",
+                          tables, cells, valid,
+                          repack: bool = True) -> "RegionTables":
+    """Incrementally patch RegionTables after an edit batch (the region-
+    major analog of trace.refresh_tables_after_insert — round-2 verdict:
+    the engine used to drop and fully rebuild the blocks on every edit).
+
+    `tables` must already be refreshed (its dist lane + edited rows are the
+    source of truth). Costs, insert path (repack=True): one elementwise
+    repack + layout reorder of the 4-byte packed field (the skip distances
+    an insert changes move scene-wide within DIST_CAP, so field 0 cannot
+    be patched per-cell), one K-row scatter for the brick-local fields
+    (occupancy/dielectric/ir change ONLY at the K edited cells), and the
+    tiny coarse-table rebuild — vs the full rebuild's 8-field 32 MB
+    reorder. Removal path (repack=False): statuses, material windows and
+    the skip field are all invariant (bricks are never freed,
+    trace.refresh_tables_after_remove), so ONLY the K-row scatter runs.
+    """
+    blocks, coarse = region_tables.blocks, region_tables.coarse
+    if repack:
+        # field 0: window|dist repack from the refreshed tables (global)
+        start_raw = tables[:, 0]
+        dist = jnp.minimum(tables[:, 3], 63)
+        window_p1 = jnp.where(start_raw == -1, jnp.int32(0),
+                              ((start_raw & jnp.int32(0x7FFFFFFF)) >> 6) + 1)
+        packed = _packed_region_major(static, (window_p1 << 6) | dist)
+        blocks = blocks.at[:, _F_PACKED].set(packed)
+        coarse = _build_coarse(static, start_raw != -1)
+
+    # fields 1..5: scatter the K edited cells' rows
+    safe = jnp.clip(cells, 0, static.cells - 1)
+    nr, lc = _cells_to_region_local(static, safe)
+    ny, nz, nx = region_grid(static)
+    nr = jnp.where(valid, nr, ny * nz * nx)  # out of range -> dropped
+    sub, lane = lc // 128, lc % 128
+    rows = tables[safe]
+    for f_blk, f_tab in ((_F_OCC_LO, 1), (_F_OCC_HI, 2), (_F_DML, 4),
+                         (_F_DMH, 5), (_F_IR, 6)):
+        blocks = blocks.at[nr, f_blk, sub, lane].set(rows[:, f_tab],
+                                                     mode="drop")
+    return RegionTables(blocks=blocks, coarse=coarse)
+
+
 def _lookup(block_field, local_idx):
     """Shuffle-tree lookup: block_field int32[_SUBROWS,128], local_idx
     (8,128) in [0, _RC). ~_SUBROWS shuffles + selects (hardware ~1.2 G
@@ -234,7 +323,8 @@ def _lookup(block_field, local_idx):
 def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                  needs_ignore: bool, predicated: bool = True,
                  stats: bool = False, step_unroll: int = 1,
-                 split: bool = False):
+                 split: bool = False, concurrent: bool = False,
+                 n_serve: int = _N_SERVE):
     # step_unroll: run the DDA step body K times per while iteration — the
     # loop condition's any() is a vector->scalar reduction with real
     # latency; checking it every K cheap steps trades <=K-1 wasted
@@ -572,6 +662,267 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 return ((pending, t_cur, ncode, found_i, out_t, out_addr),
                         k_steps)
 
+            def lookup_slots(field, local_idx, slot):
+                """Per-lane shuffle-tree lookup across the n_serve resident
+                region blocks: each lane reads from the slot its current
+                region was DMA'd into (n_serve trees + selects; trees are
+                ~5% of step cost — see docs/DESIGN_NOTES.md round-2 item 6
+                — so concurrency is nearly free)."""
+                r = local_idx // 128
+                c = local_idx % 128
+                val = jnp.zeros(local_idx.shape, jnp.int32)
+                for i in range(n_serve):
+                    vi = jnp.zeros(local_idx.shape, jnp.int32)
+                    for row in range(_SUBROWS):
+                        cand = jnp.take_along_axis(
+                            jnp.broadcast_to(scratch[i, field, row],
+                                             local_idx.shape), c, axis=1)
+                        vi = jnp.where(r == row, cand, vi)
+                    val = jnp.where(slot == i, vi, val)
+                return val
+
+            def serve_concurrent(rids, hases, st6):
+                """March ALL resident regions in one loop. Semantics match
+                sequential serve(): a lane crossing into another resident
+                region switches slots in-flight (the same float path as a
+                park + next-phase re-init: t_base = exit boundary,
+                grid_init re-derivation), empty regions roam, non-resident
+                non-empty regions park."""
+                (pending, t_cur, ncode, found_i6, out_t, out_addr) = st6
+                nr_i4 = jnp.int32(n_regions)
+                t_off = voxel_scale * F(0.05)
+
+                def slot_of(region_ids):
+                    s = jnp.full(region_ids.shape, -1, jnp.int32)
+                    for i in range(n_serve):
+                        si = jnp.where(hases[i], jnp.int32(i), jnp.int32(-1))
+                        s = jnp.where(region_ids == rids[i], si, s)
+                    return s
+
+                slot0 = jnp.where(pending >= 0, slot_of(pending),
+                                  jnp.int32(-1))
+                mine = slot0 >= 0
+                sx, sy, sz, lx, ly, lz = grid_init(t_cur)
+
+                def m_step(ms):
+                    (run_i, slot, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                     found_i, out_t, out_addr, pending, t_cur, k) = ms
+                    running = run_i != 0
+                    found = found_i != 0
+
+                    # per-lane region box (pending == the lane's serving
+                    # region while it runs)
+                    prid = jnp.clip(pending, 0, nr_i4 - 1)
+                    bx0 = (prid % nx) * rx
+                    by0 = (prid // (nz * nx)) * ry
+                    bz0 = ((prid // nx) % nz) * rz
+                    in_region = ((lx >= bx0) & (lx < bx0 + rx)
+                                 & (ly >= by0) & (ly < by0 + ry)
+                                 & (lz >= bz0) & (lz < bz0 + rz))
+                    in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0)
+                               & (ly < dim_y) & (lz >= 0) & (lz < dim_z))
+                    exit_t = t_base + F(1e-4) * scale + tv
+                    g_off = running & ~in_region & in_grid
+                    g_miss = running & ~in_grid
+                    rid_lane = region_of(jnp.clip(lx, 0, dim_x - 1),
+                                         jnp.clip(ly, 0, dim_y - 1),
+                                         jnp.clip(lz, 0, dim_z - 1))
+                    cval = coarse_lookup(jnp.clip(rid_lane, 0, n_regions - 1))
+                    roam = g_off & (cval < 64)
+                    # in-flight switch to another RESIDENT (non-empty)
+                    # region: keep marching instead of parking for a phase
+                    new_slot = slot_of(rid_lane)
+                    switch = g_off & ~roam & (new_slot >= 0)
+                    g_park = g_off & ~roam & ~switch
+                    pending = jnp.where(g_park | switch, rid_lane, pending)
+                    pending = jnp.where(g_miss, -1, pending)
+                    t_cur = jnp.where(g_park, exit_t, t_cur)
+                    slot = jnp.where(switch, new_slot, slot)
+                    running = running & ~g_park & ~g_miss
+                    g_act = running & in_region
+
+                    local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
+                    local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
+                    packed = lookup_slots(_F_PACKED, local, slot)
+                    enter = g_act & (packed >= 64)
+                    dist = packed & 63
+                    do_skip = g_act & ~enter & (dist >= 2)
+                    cur_t = t_base + F(1e-4) * scale + tv
+                    new_tb = (cur_t + (dist.astype(F) - F(1.0)) * scale
+                              * inv_max_abs)
+                    t_base = jnp.where(do_skip, new_tb, t_base)
+                    wbx = (gx0 + ((lx // rx) * rx
+                                  + jnp.where(stx > 0, rx, 0)).astype(F) * scale)
+                    wby = (gy0 + ((ly // ry) * ry
+                                  + jnp.where(sty > 0, ry, 0)).astype(F) * scale)
+                    wbz = (gz0 + ((lz // rz) * rz
+                                  + jnp.where(stz > 0, rz, 0)).astype(F) * scale)
+                    trx = jnp.where(stx == 0, F(3e38), (wbx - ox) * ix)
+                    try_ = jnp.where(sty == 0, F(3e38), (wby - oy) * iy)
+                    trz = jnp.where(stz == 0, F(3e38), (wbz - oz) * iz)
+                    roam_exit = jnp.minimum(trx, jnp.minimum(try_, trz))
+                    extra = jnp.maximum(cval - 2, 0).astype(F) * F(min_edge)
+                    roam_t = roam_exit + extra * scale * inv_max_abs
+                    t_base = jnp.where(roam, roam_t, t_base)
+                    # switching lanes re-init at the region boundary — the
+                    # exact float path a park + next-phase re-init takes
+                    t_base = jnp.where(switch, exit_t, t_base)
+                    do_skip = do_skip | roam | switch
+                    rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+
+                    def resolve(args):
+                        (found_i2, out_t, out_addr, ncode, running_i2,
+                         pending) = args
+                        found = found_i2 != 0
+                        running = running_i2 != 0
+                        occ_lo = lookup_slots(_F_OCC_LO, local,
+                                              slot).astype(jnp.uint32)
+                        occ_hi = lookup_slots(_F_OCC_HI, local,
+                                              slot).astype(jnp.uint32)
+                        if needs_ignore:
+                            dml = lookup_slots(_F_DML, local,
+                                               slot).astype(jnp.uint32)
+                            dmh = lookup_slots(_F_DMH, local,
+                                               slot).astype(jnp.uint32)
+                            bkey = jax.lax.bitcast_convert_type(
+                                lookup_slots(_F_IR, local, slot), F)
+                        mat_start = ((packed >> 6) - 1) << 6
+                        entry_t = tv + t_base + F(0.01) * scale
+                        bminx = lx.astype(F) * scale + gx0
+                        bminy = ly.astype(F) * scale + gy0
+                        bminz = lz.astype(F) * scale + gz0
+                        bfx = (ox + dx * entry_t - bminx) / voxel_scale
+                        bfy = (oy + dy * entry_t - bminy) / voxel_scale
+                        bfz = (oz + dz * entry_t - bminz) / voxel_scale
+                        bsx = (stxf * (jnp.floor(bfx) - bfx)
+                               + (stxf * F(0.5) + F(0.5))) * adx
+                        bsy = (styf * (jnp.floor(bfy) - bfy)
+                               + (styf * F(0.5) + F(0.5))) * ady
+                        bsz = (stzf * (jnp.floor(bfz) - bfz)
+                               + (stzf * F(0.5) + F(0.5))) * adz
+                        blx = jnp.floor(bfx).astype(jnp.int32)
+                        bly = jnp.floor(bfy).astype(jnp.int32)
+                        blz = jnp.floor(bfz).astype(jnp.int32)
+                        b_t = jnp.zeros_like(entry_t)
+                        ltm = tmax_all - entry_t
+                        hcode = ncode
+                        alive = enter
+                        bhit = enter & False
+                        bt_hit = jnp.zeros_like(entry_t)
+                        baddr = jnp.zeros(entry_t.shape, jnp.int32)
+                        hit_code = ncode
+                        for _sub in range(10):
+                            in_b = ((blx >= 0) & (blx < _BD) & (bly >= 0)
+                                    & (bly < _BD) & (blz >= 0) & (blz < _BD)
+                                    & (b_t <= ltm))
+                            a = alive & in_b
+                            alive = a
+                            vi = blx + _BD * (blz + _BD * bly)
+                            viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
+                            occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
+                            occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
+                            vhit = a & (occ_bit == 1)
+                            if needs_ignore:
+                                d_word = jnp.where(viu < 32, dml, dmh)
+                                d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
+                                vhit = vhit & ~((d_bit == jnp.uint32(1))
+                                                & (bkey == ray_key))
+                            bhit = bhit | vhit
+                            bt_hit = jnp.where(vhit, entry_t + b_t - t_off,
+                                               bt_hit)
+                            baddr = jnp.where(vhit, mat_start + vi, baddr)
+                            hit_code = jnp.where(vhit, hcode, hit_code)
+                            alive = a & ~vhit
+                            bax = (bsx < bsy) & (bsx < bsz)
+                            bay = ~(bsx < bsy) & (bsy < bsz)
+                            baz = ~(bax | bay)
+                            bt_new = jnp.where(
+                                bax, bsx,
+                                jnp.where(bay, bsy, bsz)) * voxel_scale
+                            bsx = jnp.where(alive & bax, bsx + adx, bsx)
+                            bsy = jnp.where(alive & bay, bsy + ady, bsy)
+                            bsz = jnp.where(alive & baz, bsz + adz, bsz)
+                            blx = jnp.where(alive & bax, blx + stx, blx)
+                            bly = jnp.where(alive & bay, bly + sty, bly)
+                            blz = jnp.where(alive & baz, blz + stz, blz)
+                            b_t = jnp.where(alive, bt_new, b_t)
+                            hcode = jnp.where(
+                                alive,
+                                jnp.where(bax, code_x,
+                                          jnp.where(bay, code_y, code_z)),
+                                hcode)
+                        found = found | bhit
+                        out_t = jnp.where(bhit, bt_hit, out_t)
+                        out_addr = jnp.where(bhit, baddr, out_addr)
+                        ncode = jnp.where(bhit, hit_code, ncode)
+                        running = running & ~bhit
+                        pending = jnp.where(bhit, -1, pending)
+                        return (found.astype(jnp.int32), out_t, out_addr,
+                                ncode, running.astype(jnp.int32), pending)
+
+                    (found_i, out_t, out_addr, ncode, running_i, pending) = \
+                        jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
+                                     (found.astype(jnp.int32), out_t,
+                                      out_addr, ncode,
+                                      running.astype(jnp.int32), pending))
+                    found = found_i != 0
+                    running = running_i != 0
+
+                    grid_steps = g_act & running & ~do_skip
+                    gax = (sx < sy) & (sx < sz)
+                    gay = ~(sx < sy) & (sy < sz)
+                    gaz = ~(gax | gay)
+                    gt_new = jnp.where(gax, sx,
+                                       jnp.where(gay, sy, sz)) * scale
+                    sx = jnp.where(grid_steps & gax, sx + adx, sx)
+                    sy = jnp.where(grid_steps & gay, sy + ady, sy)
+                    sz = jnp.where(grid_steps & gaz, sz + adz, sz)
+                    lx = jnp.where(grid_steps & gax, lx + stx, lx)
+                    ly = jnp.where(grid_steps & gay, ly + sty, ly)
+                    lz = jnp.where(grid_steps & gaz, lz + stz, lz)
+                    tv = jnp.where(grid_steps, gt_new, tv)
+                    ncode = jnp.where(
+                        grid_steps,
+                        jnp.where(gax, code_x,
+                                  jnp.where(gay, code_y, code_z)),
+                        ncode)
+                    sx = jnp.where(do_skip, rsx, sx)
+                    sy = jnp.where(do_skip, rsy, sy)
+                    sz = jnp.where(do_skip, rsz, sz)
+                    lx = jnp.where(do_skip, rlx, lx)
+                    ly = jnp.where(do_skip, rly, ly)
+                    lz = jnp.where(do_skip, rlz, lz)
+                    tv = jnp.where(do_skip, F(0.0), tv)
+
+                    return (running.astype(jnp.int32), slot, t_base, tv,
+                            sx, sy, sz, lx, ly, lz, ncode,
+                            found.astype(jnp.int32), out_t, out_addr,
+                            pending, t_cur, k + 1)
+
+                ms = (mine.astype(jnp.int32), slot0, t_cur,
+                      jnp.zeros_like(t_cur), sx, sy, sz, lx, ly, lz,
+                      ncode, found_i6, out_t, out_addr, pending, t_cur,
+                      jnp.int32(0))
+
+                def m_cond(ms):
+                    return (ms[-1] < steps_per_phase) & jnp.any(ms[0] != 0)
+
+                def m_wrap(ms):
+                    for _ in range(step_unroll):
+                        ms = m_step(ms)
+                    return ms
+
+                ms = jax.lax.while_loop(m_cond, m_wrap, ms)
+                (run_i, _, t_base, tv, _, _, _, lx, ly, lz, ncode,
+                 found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
+                running = run_i != 0
+                exit_t = t_base + F(1e-4) * scale + tv
+                pending = jnp.where(running, region_of(
+                    jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
+                    jnp.clip(lz, 0, dim_z - 1)), pending)
+                t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
+                return ((pending, t_cur, ncode, found_i, out_t, out_addr),
+                        k_steps)
 
             # Multi-region phase: vote the N_SERVE most-urgent pending
             # regions (march order within each), DMA them ALL up front —
@@ -586,7 +937,7 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             rids = []
             hases = []
             excluded = jnp.zeros_like(live)
-            for _v in range(_N_SERVE):
+            for _v in range(n_serve):
                 cand = live & ~excluded
                 tv_ = jnp.where(cand, t_cur, inf_t)
                 tmin_ = jnp.min(tv_)
@@ -598,25 +949,38 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 excluded = excluded | (pending == rid_v)
             dmas = [pltpu.make_async_copy(blocks_hbm.at[rids[i]],
                                           scratch.at[i], sem.at[i])
-                    for i in range(_N_SERVE)]
+                    for i in range(n_serve)]
             for d in dmas:
                 d.start()
             st6 = (pending, t_cur, ncode, found_ph, out_t, out_addr)
             k_total = jnp.int32(0)
             n_served = jnp.int32(0)
-            for i in range(_N_SERVE):
-                # ALWAYS wait (semaphore bookkeeping must pair with start);
-                # blocks for later serves arrived during earlier ones
-                dmas[i].wait()
-                if i == 0:
-                    st6, k_i = serve(rids[0], scratch.at[0], st6)
-                else:
-                    st6, k_i = jax.lax.cond(
-                        hases[i],
-                        lambda s, _i=i: serve(rids[_i], scratch.at[_i], s),
-                        lambda s: (s, jnp.int32(0)), st6)
-                k_total = k_total + k_i
-                n_served = n_served + hases[i].astype(jnp.int32)
+            if concurrent:
+                # CONCURRENT serve (round 3, the incoherent-ray lever): all
+                # resident regions are marched in ONE loop — each lane
+                # looks up from its own slot — so a divergent tile's lane
+                # utilization multiplies by up to n_serve instead of
+                # serving the regions one mostly-idle loop at a time.
+                for d in dmas:
+                    d.wait()
+                st6, k_total = serve_concurrent(rids, hases, st6)
+                for i in range(n_serve):
+                    n_served = n_served + hases[i].astype(jnp.int32)
+            else:
+                for i in range(n_serve):
+                    # ALWAYS wait (semaphore bookkeeping must pair with
+                    # start); blocks for later serves arrived during
+                    # earlier ones
+                    dmas[i].wait()
+                    if i == 0:
+                        st6, k_i = serve(rids[0], scratch.at[0], st6)
+                    else:
+                        st6, k_i = jax.lax.cond(
+                            hases[i],
+                            lambda s, _i=i: serve(rids[_i], scratch.at[_i], s),
+                            lambda s: (s, jnp.int32(0)), st6)
+                    k_total = k_total + k_i
+                    n_served = n_served + hases[i].astype(jnp.int32)
             (pending, t_cur, ncode, found_i, out_t, out_addr) = st6
             if stats:
                 n_phase = n_phase + n_served
@@ -915,13 +1279,15 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 
 @partial(jax.jit, static_argnames=("static", "max_phases", "steps_per_phase",
                                    "needs_ignore", "predicated", "stats",
-                                   "step_unroll", "split", "interpret"))
+                                   "step_unroll", "split", "interpret",
+                                   "concurrent", "n_serve"))
 def trace_tiles_regions(static: GridStatic, region_blocks,
                         ox, oy, oz, dx, dy, dz, t_base, active, ray_key=None,
                         max_phases: int = 128, steps_per_phase: int = 48,
                         needs_ignore: bool = False, predicated: bool = False,
                         stats: bool = False, step_unroll: int = 2,
-                        split: bool = True, interpret: bool = False):
+                        split: bool = True, interpret: bool = False,
+                        concurrent: bool = False, n_serve: int = _N_SERVE):
     """Region-marching tile trace.
 
     Returns dict(found, t, ncode, mat_addr, unfinished) — `unfinished`
@@ -937,6 +1303,18 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
         return a.reshape(tiles * TILE_SUBLANES, TILE_LANES)
 
     blocks, coarse = region_blocks.blocks, region_blocks.coarse
+    # layout guard (see the env validation at module top): tables built
+    # under a different ZVT_REGION_CELLS would be silently misread by the
+    # compiled kernel — shapes encode the layout, so check them.
+    ny, nz, nx = region_grid(static)
+    exp_blocks = (ny * nz * nx, _N_FIELDS, _SUBROWS, 128)
+    exp_coarse = (coarse_rows(static), 128)
+    if tuple(blocks.shape) != exp_blocks or tuple(coarse.shape) != exp_coarse:
+        raise ValueError(
+            f"RegionTables layout mismatch: blocks {tuple(blocks.shape)} / "
+            f"coarse {tuple(coarse.shape)} vs kernel expectation "
+            f"{exp_blocks} / {exp_coarse} (REGION_CELLS={REGION_CELLS}). "
+            f"Rebuild the tables with build_region_tables in this process.")
     ray_spec = pl.BlockSpec((TILE_SUBLANES, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     coarse_spec = pl.BlockSpec(coarse.shape, lambda i: (0, 0),
@@ -944,7 +1322,8 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
     out_shape = (tiles * TILE_SUBLANES, TILE_LANES)
     found, t, ncode, addr, pending = pl.pallas_call(
         _tile_kernel(static, max_phases, steps_per_phase, needs_ignore,
-                     predicated, stats, step_unroll, split),
+                     predicated, stats, step_unroll, split, concurrent,
+                     n_serve),
         grid=(tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coarse_spec]
         + [ray_spec] * 9,
@@ -957,8 +1336,8 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
         scratch_shapes=([
-            pltpu.VMEM((_N_SERVE, _N_FIELDS, _SUBROWS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((_N_SERVE,)),
+            pltpu.VMEM((n_serve, _N_FIELDS, _SUBROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_serve,)),
         ] if split else [
             pltpu.VMEM((_N_FIELDS, _SUBROWS, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -1017,7 +1396,8 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
                    needs_ignore: bool = False, predicated: bool = False,
                    stats: bool = False, step_unroll: int = 2,
                    split: bool = True, interpret: bool = False,
-                   image_shape=None):
+                   image_shape=None, concurrent: bool = False,
+                   n_serve: int = _N_SERVE):
     """grid_hit-compatible wrapper over the region tracer (SoA outputs).
 
     Serves every ray class: pass `ray_key` (the per-ray refraction key —
@@ -1074,7 +1454,8 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         ray_key=None if ray_key is None else p(ray_key, np.nan),
         max_phases=max_phases, steps_per_phase=steps_per_phase,
         needs_ignore=needs_ignore, predicated=predicated, stats=stats,
-        step_unroll=step_unroll, split=split, interpret=interpret)
+        step_unroll=step_unroll, split=split, interpret=interpret,
+        concurrent=concurrent, n_serve=n_serve)
 
     found = out["found"][:n]
     t = out["t"][:n]

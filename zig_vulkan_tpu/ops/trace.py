@@ -46,6 +46,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import BRICK_DIMENSION, BRICK_WORDS, TraceConfig
 from ..core.grid import GridArrays, GridStatic
@@ -61,7 +62,26 @@ from . import rng
 
 F = jnp.float32
 _BD = BRICK_DIMENSION
-_EMPTY = jnp.uint32(0xFFFFFFFF)
+# NB: a *numpy* scalar, deliberately. `jnp.uint32(...)` at module import
+# creates a device-resident constant; embedding it at trace time forces a
+# device->host readback inside jit lowering, which crashed a whole benchmark
+# round when the TPU tunnel was in a bad state (FAILED_PRECONDITION inside
+# mlir.ir_constant). No module import may create device state.
+_EMPTY = np.uint32(0xFFFFFFFF)
+
+# Resident-region slot count for the CONCURRENT multi-region serve used by
+# incoherent ray classes (bounce scatter + bounce shadows). More slots =
+# more lanes marching per phase at ~(slots x 5%) extra per-step lookup
+# cost; 4 won the round-3 hardware sweep. ZVT_BOUNCE_N_SERVE overrides.
+_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "4"))
+
+# Default Pallas-tracer phase budget sentinel: when a caller leaves
+# `tile_max_phases` at this value, _ray_color_soa raises it to the
+# measured-safe floors (256 coherent / 384 dielectric-skip — see the
+# comment in `hit()`). An explicitly passed value is honored verbatim,
+# including tiny budgets used by tests to starve the kernel and force
+# the XLA retrace branch.
+_DEFAULT_TILE_MAX_PHASES = 64
 
 
 @dataclasses.dataclass
@@ -741,7 +761,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    sun_position, sun_enabled, sun_color, sun_radius,
                    max_steps, tables=None, use_skip=False,
                    region_blocks=None, tile_interpret=False,
-                   tile_max_phases=64, image_shape=None):
+                   tile_max_phases=_DEFAULT_TILE_MAX_PHASES,
+                   image_shape=None):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
@@ -769,11 +790,17 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                              tables, use_skip, bounded_t=False,
                              needs_ignore=needs)
 
-    def hit(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None):
+    def hit(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None,
+            coherent=True):
         """Traversal for any ray class: the Pallas region tracer when
         enabled (all ray classes in-kernel since round 2), with an XLA
         wavefront re-trace of any lanes the kernel's phase budget could
-        not retire (runtime-skipped when none)."""
+        not retire (runtime-skipped when none). `coherent=False` (bounce
+        rays and their shadows: random directions / scattered origins)
+        selects the CONCURRENT multi-region serve with a wider slot count
+        — divergent tiles march all resident regions in one loop instead
+        of one mostly-idle loop per region (round-3; docs/PROFILE.md
+        measured these classes at ~85% of the default frame)."""
         if region_blocks is None:
             with jax.named_scope("traverse_xla"):
                 return hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key)
@@ -788,8 +815,13 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # they are sized generously: an XProf trace of the default engine
         # frame showed 4 of 12 traversals firing the ~35ms XLA fallback
         # at the tighter round-2 budgets.
-        mp = (max(tile_max_phases, 256) if ray_key is None
-              else max(tile_max_phases, 384))
+        # The floors apply only to the *default* budget: an explicit
+        # caller value is honored as-is (this is how tests starve the
+        # kernel to exercise the retrace cond branch below).
+        if tile_max_phases == _DEFAULT_TILE_MAX_PHASES:
+            mp = 256 if ray_key is None else 384
+        else:
+            mp = tile_max_phases
         with jax.named_scope("traverse_tiles"
                              if ray_key is None else "traverse_tiles_ignore"):
             out = grid_hit_tiles(static, arrays, region_blocks,
@@ -798,7 +830,10 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  needs_ignore=ray_key is not None,
                                  max_phases=mp,
                                  interpret=tile_interpret,
-                                 image_shape=image_shape)
+                                 image_shape=image_shape,
+                                 concurrent=not coherent,
+                                 **({"n_serve": _BOUNCE_N_SERVE}
+                                    if not coherent else {}))
         unfinished = out.pop("unfinished") & mask
 
         def retrace(op):
@@ -810,8 +845,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                             tuple(out[k] for k in _HIT_KEYS))
         return dict(zip(_HIT_KEYS, vals))
 
-    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask):
-        return hit(hox, hoy, hoz, hdx, hdy, hdz, mask)
+    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=True):
+        return hit(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=coherent)
     dx, dy, dz = _norm3(dx, dy, dz)
     cr = jnp.zeros(n, dtype=F)
     cg = jnp.zeros(n, dtype=F)
@@ -839,7 +874,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             # skip nothing (brick_raytracer.comp:427)
             bounce_key = jnp.where(ignore_type == MAT_DIELECTRIC,
                                    internal_refl, jnp.full(n, jnp.nan, F))
-            h = hit(ox, oy, oz, dx, dy, dz, bouncing, ray_key=bounce_key)
+            h = hit(ox, oy, oz, dx, dy, dz, bouncing, ray_key=bounce_key,
+                    coherent=False)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -935,7 +971,11 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             shz = sun_position[2] + sz_ - pz
             shx, shy, shz = _norm3(shx, shy, shz)
             with jax.named_scope("sun_shadow"):
-                sh = hit_ignore_free(px, py, pz, shx, shy, shz, active)
+                # bounce-0 shadows leave a coherent surface patch toward
+                # the sun; later bounces' shadow origins are scattered by
+                # the preceding random scatter -> concurrent serve
+                sh = hit_ignore_free(px, py, pz, shx, shy, shz, active,
+                                     coherent=bounce_i == 0)
             lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
@@ -1032,7 +1072,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 row0=0, rows: int | None = None, max_steps: int = 768,
                 tables=None, use_skip: bool = False, sample_base=0.0,
                 row_bands: int = 1, region_blocks=None,
-                tile_interpret: bool = False, tile_max_phases: int = 64):
+                tile_interpret: bool = False,
+                tile_max_phases: int = _DEFAULT_TILE_MAX_PHASES):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 

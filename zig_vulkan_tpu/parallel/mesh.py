@@ -59,17 +59,26 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
                        out_height: Optional[int] = None,
                        denoiser: DenoiserConfig = DenoiserConfig(),
                        trace_config: TraceConfig = TraceConfig(),
-                       use_pallas: bool = False):
+                       use_pallas: bool = False,
+                       tile_interpret: Optional[bool] = None):
     """Build a jitted multi-chip render step.
 
     Returns step(arrays, mats, cam, sun_position, sun_color, sun_radius)
-    -> f32[out_h, out_w, 3] (row-sharded on the mesh)."""
+    -> f32[out_h, out_w, 3] (row-sharded on the mesh).
+
+    `use_pallas=True` routes each shard's traversals through the
+    production Pallas region tracer (pass cached `region_blocks` into the
+    returned step); `tile_interpret` forces/disables Pallas interpret mode
+    (None = auto: interpret on the CPU backend, compiled on TPU — this is
+    how the multi-chip sharding is validated on a virtual CPU mesh)."""
     n = mesh.devices.size
     if height % n != 0:
         raise ValueError(f"internal height {height} must divide the mesh size {n}")
     rows = height // n
     out_w = out_width or width
     out_h = out_height or height
+    if tile_interpret is None:
+        tile_interpret = jax.default_backend() == "cpu"
 
     def trace_shard(arrays, tables, region_blocks, mats, cam, sun_position,
                     sun_color, sun_radius):
@@ -85,7 +94,8 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
             sun_position, sun_color, sun_radius, sun_enabled,
             row0=row0, rows=rows, max_steps=trace_config.max_steps,
             tables=tables, use_skip=trace_config.empty_skip,
-            row_bands=bands, region_blocks=region_blocks)
+            row_bands=bands, region_blocks=region_blocks,
+            tile_interpret=tile_interpret)
 
     # check_vma stays ON for the XLA path: the DDA while_loop seeds its
     # carries from the (tile-varying) ray direction arrays so the
