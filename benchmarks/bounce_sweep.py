@@ -1,0 +1,122 @@
+"""Incoherent-ray (diffuse bounce) kernel knob sweep on TPU.
+
+The round-2 profile (docs/PROFILE.md) shows diffuse-bounce traversals are
+~85% of the default engine frame: random scatter directions defeat the
+tile's region vote (one non-empty region served per phase). This harness
+measures EXACTLY that traversal — the first diffuse bounce of the default
+workload at 1024x576 — under the kernel's routing knobs:
+
+    python benchmarks/bounce_sweep.py <n_serve> <concurrent 0|1> [reps]
+
+It synthesizes the real bounce wavefront (trace primaries on the cached
+default scene, scatter at the hits with the engine's RNG), then times
+`grid_hit_tiles` on it with honest chained-checksum timing (one host read
+at the end; docs/DESIGN_NOTES.md §6 hygiene rules). Prints one JSON line.
+
+Run each knob combo in its own process (the knobs are also readable via
+kwargs here, so no env round-trip is needed — but a fresh process avoids
+cross-combo compile-cache interference in the timing).
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zvt_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_serve = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    concurrent = (sys.argv[2] == "1") if len(sys.argv) > 2 else False
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    import jax
+    import jax.numpy as jnp
+
+    from zig_vulkan_tpu.config import CameraConfig
+    from zig_vulkan_tpu.core.camera import Camera
+    from zig_vulkan_tpu.models.scenes import cached_default_scene
+    from zig_vulkan_tpu.ops import tile_tracer as tl
+    from zig_vulkan_tpu.ops import trace as tt
+
+    width, height = 1024, 576
+    cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".bench_scene_cache.npz")
+    sc = cached_default_scene(cache, version=3)
+    static = sc.grid.static
+    arrays = sc.grid.device_arrays()
+    tables = jax.jit(tt.build_trace_tables, static_argnums=0)(static, arrays)
+    blocks = jax.jit(tl.build_region_tables, static_argnums=0)(
+        static, arrays, tables)
+
+    cam = Camera(75.0, width, height, CameraConfig(origin=(0.0, 0.0, 0.0)))
+    cv = {k: jnp.asarray(v) for k, v in
+          tt.camera_vectors(cam.d_camera).items()}
+
+    @jax.jit
+    def make_bounce_rays(cv):
+        """The default workload's FIRST DIFFUSE BOUNCE wavefront: trace
+        primaries, scatter at the hits exactly like _ray_color_soa
+        (lambertian target = p + n + rand_in_hemisphere)."""
+        ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cv, width, height, 0)
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv, dy * inv, dz * inv
+        h = tl.grid_hit_tiles(static, arrays, blocks, ox, oy, oz, dx, dy, dz,
+                              jnp.ones(ox.shape[0], jnp.bool_),
+                              max_phases=256, image_shape=(height, width))
+        # lambertian scatter exactly as _ray_color_soa (trace.py:910-915)
+        cox = h["px"] + h["pz"]
+        coy = h["py"] + h["pz"]
+        rx, ry, rz = tt._rand_vec3_range_soa(cox, coy, jnp.float32(-0.4),
+                                             jnp.float32(0.4))
+        sx, sy, sz = tt._norm3(h["nx"] + rx, h["ny"] + ry, h["nz"] + rz)
+        return h["px"], h["py"], h["pz"], sx, sy, sz, h["found"]
+
+    bx, by, bz, bdx, bdy, bdz, act = jax.block_until_ready(
+        make_bounce_rays(cv))
+    n_act = int(np.asarray(act).sum())
+
+    @jax.jit
+    def bounce_trace(acc, bx):
+        bx = bx + acc * jnp.float32(0.0)  # chain the dispatch
+        h = tl.grid_hit_tiles(static, arrays, blocks, bx, by, bz,
+                              bdx, bdy, bdz, act,
+                              max_phases=256,
+                              concurrent=concurrent, n_serve=n_serve,
+                              image_shape=(height, width))
+        acc = (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
+               + jnp.float32(1.0))
+        unf = jnp.sum((h["unfinished"] & act).astype(jnp.int32))
+        return acc, unf
+
+    t0 = time.time()
+    acc, unf = bounce_trace(jnp.float32(0.0), bx)
+    _ = float(acc)
+    print(f"# warmup (compile + 1 trace): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for _ in range(reps):
+        acc, unf = bounce_trace(acc, bx)
+    checksum = float(acc)
+    elapsed = time.time() - t0
+    unfinished = int(unf)
+    ms = elapsed / reps * 1e3
+    print(json.dumps({
+        "class": "diffuse_bounce_1024x576",
+        "n_serve": n_serve, "concurrent": concurrent,
+        "active_lanes": n_act, "reps": reps,
+        "ms": round(ms, 2), "unfinished": unfinished,
+        "checksum": round(checksum, 4)}))
+
+
+if __name__ == "__main__":
+    main()

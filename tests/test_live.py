@@ -69,3 +69,51 @@ def test_viewer_renders_frames_headless():
     assert n == 2
     painted = v.out.getvalue()
     assert "▀" in painted and "Mray/s" in painted
+
+
+def test_parse_sgr_mouse():
+    from zig_vulkan_tpu.app.live import parse_sgr_mouse
+
+    assert parse_sgr_mouse("35;10;22M") == ("mouse", (10.0, 22.0))
+    assert parse_sgr_mouse("0;1;1m") == ("mouse", (1.0, 1.0))
+    assert parse_sgr_mouse("") is None
+    assert parse_sgr_mouse("35;10M") is None
+    assert parse_sgr_mouse("a;b;cM") is None
+
+
+def test_mouse_events_drive_camera_look():
+    """Real mouse motion (SGR cursor positions) turns the camera exactly
+    like the reference's cursorPosCallback path (main.zig:294-310)."""
+    import numpy as np
+
+    from zig_vulkan_tpu.app.live import MOUSE_CELL_PIXELS
+
+    v = _viewer()
+    v.inp.mouse_ignore_frames = 0
+    basis0 = np.asarray(v.rt.camera.d_camera.horizontal).copy()
+    v.feed([("mouse", (10.0, 20.0))], now=0.0)
+    v.feed([("mouse", (14.0, 20.0))], now=0.0)  # 4 cells right
+    assert v.inp.call_yaw
+    assert v.inp.mouse_delta[0] == 4.0 * MOUSE_CELL_PIXELS
+    v.inp.apply_to_camera(v.rt.camera, 0.016)
+    basis1 = np.asarray(v.rt.camera.d_camera.horizontal)
+    assert not np.allclose(basis0, basis1), "yaw must rotate the basis"
+
+
+def test_cursor_shape_and_visibility_follow_menu_mode():
+    """The 9-shape cursor analog (Input.zig:245-276): hidden/captured in
+    game mode, shown with the GUI-selected shape in menu mode."""
+    from zig_vulkan_tpu.app.input import CursorShape
+
+    v = _viewer()
+    assert len(CursorShape) == 9
+    v.inp.apply_to_camera(v.rt.camera, 0.016)
+    assert not v.inp.cursor_visible
+    v.feed([("esc", None)], now=0.0)  # -> menu mode
+    v.inp.set_cursor_shape(CursorShape.HAND)
+    v.inp.apply_to_camera(v.rt.camera, 0.016)
+    assert v.inp.cursor_visible
+    assert v.inp.cursor_shape is CursorShape.HAND
+    v.feed([("esc", None)], now=0.0)  # back to game mode
+    v.inp.apply_to_camera(v.rt.camera, 0.016)
+    assert not v.inp.cursor_visible

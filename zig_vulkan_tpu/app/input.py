@@ -43,6 +43,24 @@ class Action(Enum):
     RELEASE = "release"
 
 
+class CursorShape(Enum):
+    """The nine ImGui cursor shapes the reference maintains
+    (Input.zig:245-276: arrow, text input, resize-all, the four
+    directional resizes, hand, not-allowed). The terminal frontend maps
+    the active shape to a DECSCUSR style when the menu cursor is shown;
+    headless hosts just observe the state."""
+
+    ARROW = "arrow"
+    TEXT_INPUT = "text_input"
+    RESIZE_ALL = "resize_all"
+    RESIZE_NS = "resize_ns"
+    RESIZE_EW = "resize_ew"
+    RESIZE_NESW = "resize_nesw"
+    RESIZE_NWSE = "resize_nwse"
+    HAND = "hand"
+    NOT_ALLOWED = "not_allowed"
+
+
 @dataclasses.dataclass
 class KeyEvent:
     key: Key
@@ -69,6 +87,11 @@ class Input:
         self.mouse_delta = np.zeros(2, dtype=np.float32)
         self.mouse_ignore_frames = 5
         self.menu_mode = False
+        # cursor-shape + visibility state (Input.zig:245-276 updateCursor
+        # + main.zig setInputModeCursor: game mode hides/captures the
+        # cursor, menu mode shows it with the GUI-selected shape)
+        self.cursor_shape = CursorShape.ARROW
+        self.cursor_visible = False
         self._prev_cursor: Optional[CursorPosEvent] = None
         self._key_handler = key_handler or self._game_key_handler
         self._cursor_handler = cursor_handler or self._game_cursor_handler
@@ -113,6 +136,18 @@ class Input:
             self.menu_mode = False
             self.mouse_ignore_frames = 5
 
+    # -- cursor shape/visibility (Input.zig:245-276, main.zig:226-283) ----------
+    def set_cursor_shape(self, shape: CursorShape) -> None:
+        """updateCursor analog: the GUI layer selects the shape; it only
+        displays while the cursor is visible (menu mode)."""
+        self.cursor_shape = shape
+
+    def update_cursor(self) -> None:
+        """Per-frame cursor maintenance: visibility follows the mode
+        switch (game = captured/hidden, menu = shown), as the reference
+        does on every frame via setInputModeCursor + updateCursor."""
+        self.cursor_visible = self.menu_mode
+
     def _game_cursor_handler(self, event: CursorPosEvent) -> None:
         prev = self._prev_cursor
         self._prev_cursor = event
@@ -134,6 +169,7 @@ class Input:
             key_h, cur_h = self._game_key_handler, self._game_cursor_handler
         self._key_handler = key_h
         self._cursor_handler = cur_h
+        self.update_cursor()
 
         if self.call_translate > 0:
             if self.activate_sprint:

@@ -29,9 +29,27 @@ from typing import Optional
 
 import numpy as np
 
-from .input import Action, Input, Key
+from .input import Action, CursorShape, Input, Key
 
 HOLD_S = 0.25  # synthesized key-hold horizon per repeat
+
+# terminal-cell -> cursor-pixel sensitivity for real mouse motion (a GLFW
+# cursor moves in pixels; a terminal reports cells)
+MOUSE_CELL_PIXELS = 8.0
+
+# CursorShape -> DECSCUSR style (the terminal's closest analog of the
+# reference's 9 GLFW/ImGui cursor shapes, Input.zig:245-276)
+_CURSOR_STYLES = {
+    CursorShape.ARROW: 1,        # blinking block
+    CursorShape.TEXT_INPUT: 5,   # blinking bar
+    CursorShape.RESIZE_ALL: 2,   # steady block
+    CursorShape.RESIZE_NS: 4,    # steady underline
+    CursorShape.RESIZE_EW: 3,    # blinking underline
+    CursorShape.RESIZE_NESW: 4,
+    CursorShape.RESIZE_NWSE: 4,
+    CursorShape.HAND: 6,         # steady bar
+    CursorShape.NOT_ALLOWED: 2,
+}
 
 _KEYMAP = {
     "w": Key.W, "a": Key.A, "s": Key.S, "d": Key.D,
@@ -86,12 +104,19 @@ class _RawTty:
 
             self._saved = termios.tcgetattr(sys.stdin.fileno())
             tty.setcbreak(sys.stdin.fileno())
+            # SGR any-motion mouse tracking: the terminal's cursor-pos
+            # callback (reference Input.zig cursorPosCallback). 1003 =
+            # report all motion, 1006 = SGR encoding (unambiguous coords).
+            sys.stdout.write("\x1b[?1003h\x1b[?1006h")
+            sys.stdout.flush()
         return self
 
     def __exit__(self, *a):
         if self._saved is not None:
             import termios
 
+            sys.stdout.write("\x1b[?1003l\x1b[?1006l\x1b[0 q")
+            sys.stdout.flush()
             termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN,
                               self._saved)
         return False
@@ -104,16 +129,46 @@ class _RawTty:
         while select.select([sys.stdin], [], [], 0)[0]:
             ch = sys.stdin.read(1)
             if ch == "\x1b":
-                # arrow escape sequence?
+                # arrow / SGR-mouse escape sequence?
                 if select.select([sys.stdin], [], [], 0.01)[0]:
                     nxt = sys.stdin.read(1)
                     if nxt == "[" and select.select([sys.stdin], [], [], 0.01)[0]:
-                        keys.append(("arrow", sys.stdin.read(1)))
+                        third = sys.stdin.read(1)
+                        if third == "<":
+                            # SGR mouse: "<b;x;y(M|m)"
+                            seq = ""
+                            while select.select([sys.stdin], [], [], 0.01)[0]:
+                                c = sys.stdin.read(1)
+                                seq += c
+                                if c in "Mm":
+                                    break
+                            ev = parse_sgr_mouse(seq)
+                            if ev is not None:
+                                keys.append(ev)
+                            continue
+                        keys.append(("arrow", third))
                         continue
                 keys.append(("esc", None))
             else:
                 keys.append(("char", ch))
         return keys
+
+
+def parse_sgr_mouse(seq: str):
+    """Parse an SGR mouse body "b;x;y(M|m)" (after ESC[<) into a
+    ("mouse", (col, row)) event. Motion and button events both carry the
+    position — the cursor-pos path only needs coordinates. Returns None
+    on malformed input. Pure and unit-testable."""
+    if not seq or seq[-1] not in "Mm":
+        return None
+    parts = seq[:-1].split(";")
+    if len(parts) != 3:
+        return None
+    try:
+        _b, x, y = (int(p) for p in parts)
+    except ValueError:
+        return None
+    return ("mouse", (float(x), float(y)))
 
 
 class LiveViewer:
@@ -166,6 +221,14 @@ class LiveViewer:
                     self._cursor[0] += dx
                     self._cursor[1] += dy
                     self.inp.cursor_event(self._cursor[0], self._cursor[1])
+            elif kind == "mouse":
+                # real mouse-look: terminal cell coords scaled to cursor
+                # pixels feed the same cursor-delta path as the reference
+                # (main.zig:294-310)
+                cx, cy = val
+                self._cursor[0] = cx * MOUSE_CELL_PIXELS
+                self._cursor[1] = cy * MOUSE_CELL_PIXELS
+                self.inp.cursor_event(self._cursor[0], self._cursor[1])
             elif kind == "esc":
                 self.inp.key_event(Key.ESCAPE, Action.PRESS)
                 self.inp.key_event(Key.ESCAPE, Action.RELEASE)
@@ -205,8 +268,16 @@ class LiveViewer:
 
     def paint(self, image: np.ndarray) -> None:
         body = frame_to_ansi(image, self.max_cols, self.max_rows)
+        # cursor shape/visibility analog (Input.zig updateCursor): menu
+        # mode shows the terminal cursor in the GUI-selected DECSCUSR
+        # style; game mode hides it (cursor "captured")
+        if self.inp.cursor_visible:
+            style = _CURSOR_STYLES.get(self.inp.cursor_shape, 1)
+            cur = f"\x1b[{style} q\x1b[?25h"
+        else:
+            cur = "\x1b[?25l"
         # home the cursor instead of clearing: no flicker
-        self.out.write("\x1b[H" + body + "\n" + self.hud() + "\x1b[K\n")
+        self.out.write("\x1b[H" + body + "\n" + self.hud() + "\x1b[K\n" + cur)
         self.out.flush()
 
     def run(self, max_frames: Optional[int] = None) -> int:

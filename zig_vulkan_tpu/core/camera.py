@@ -116,7 +116,10 @@ class Camera:
         if self.user_input_disabled:
             return
         by = np.asarray(by, dtype=_F32)
-        norm = by / np.sqrt(np.sum(by * by))  # NaN for zero vector, like za .norm()
+        # NaN for the zero vector, matching zalgebra .norm() — silenced so
+        # the intentional divide doesn't mask real NaN bugs in debug mode
+        with np.errstate(invalid="ignore", divide="ignore"):
+            norm = by / np.sqrt(np.sum(by * by))
         delta = q.quat_rotate_vec(self.orientation(), norm * (_F32(delta_time) * self.movement_speed))
         if np.isnan(delta[0]):
             return

@@ -69,11 +69,15 @@ _BD = BRICK_DIMENSION
 # mlir.ir_constant). No module import may create device state.
 _EMPTY = np.uint32(0xFFFFFFFF)
 
-# Resident-region slot count for the CONCURRENT multi-region serve used by
-# incoherent ray classes (bounce scatter + bounce shadows). More slots =
-# more lanes marching per phase at ~(slots x 5%) extra per-step lookup
-# cost; 4 won the round-3 hardware sweep. ZVT_BOUNCE_N_SERVE overrides.
-_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "4"))
+# Incoherent-ray (bounce scatter + bounce shadow) kernel routing knobs,
+# hardware-swept (docs/DESIGN_NOTES.md round 3):
+# - ZVT_BOUNCE_N_SERVE: regions voted+DMA'd per phase for these classes
+#   ("0" = the round-2 default slot count).
+# - ZVT_BOUNCE_CONCURRENT: 1 = march all resident regions in ONE loop
+#   (n_serve shuffle trees per step), 0 = serve them sequentially with
+#   early-exit loops (1 tree per step).
+_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "8"))
+_BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
 
 # Default Pallas-tracer phase budget sentinel: when a caller leaves
 # `tile_max_phases` at this value, _ray_color_soa raises it to the
@@ -831,9 +835,11 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  max_phases=mp,
                                  interpret=tile_interpret,
                                  image_shape=image_shape,
-                                 concurrent=not coherent,
+                                 concurrent=not coherent
+                                 and _BOUNCE_CONCURRENT,
                                  **({"n_serve": _BOUNCE_N_SERVE}
-                                    if not coherent else {}))
+                                    if not coherent and _BOUNCE_N_SERVE > 0
+                                    else {}))
         unfinished = out.pop("unfinished") & mask
 
         def retrace(op):
