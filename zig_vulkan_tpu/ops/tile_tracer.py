@@ -85,13 +85,18 @@ TILE = TILE_SUBLANES * TILE_LANES
 # region edge lengths in grid cells (y, z, x); the record block for one
 # region must fit VMEM comfortably (8 fields x _SUBROWS x 128 int32).
 # Larger regions = fewer phases (DMA/vote/re-init overhead) but taller
-# shuffle trees per lookup; 16^3 won the hardware sweep (see
-# docs/DESIGN_NOTES.md). ZVT_REGION_CELLS=y,z,x overrides for tuning runs.
+# shuffle trees per lookup. The round-3 hardware sweep moved the default
+# from 16^3 (4096 cells = 32 subrows) to (4,16,16) (1024 cells = 8
+# subrows): flat regions match the terrain's height-field geometry and
+# the 4x-shallower shuffle tree beats the extra phases — 120 -> 148
+# Mray/s primary, 95 -> 69 ms bounce class at 1024x576 (volumes below
+# 1024 cells regress both: more phases, no tree left to shrink).
+# ZVT_REGION_CELLS=y,z,x overrides for tuning runs.
 import os as _os
 
 _rc_env = _os.environ.get("ZVT_REGION_CELLS")
 REGION_CELLS = (tuple(int(v) for v in _rc_env.split(","))
-                if _rc_env else (16, 16, 16))
+                if _rc_env else (4, 16, 16))
 _RC = REGION_CELLS[0] * REGION_CELLS[1] * REGION_CELLS[2]
 _SUBROWS = max(1, _RC // 128)
 
