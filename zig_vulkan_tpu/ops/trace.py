@@ -76,7 +76,11 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 # - ZVT_BOUNCE_CONCURRENT: 1 = march all resident regions in ONE loop
 #   (n_serve shuffle trees per step), 0 = serve them sequentially with
 #   early-exit loops (1 tree per step).
-_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "8"))
+# At the (4,16,16) region default the round-3 re-sweep measured n_serve
+# {1,2,4,8} within noise on the diffuse-bounce class (62.7-65.6 ms at
+# 1024x576) but a clean +8 ms for 8 on the scattered-origin shadow
+# class, so the default follows the kernel's 2-slot vote.
+_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "2"))
 _BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
 
 # Default Pallas-tracer phase budget sentinel: when a caller leaves
@@ -86,6 +90,12 @@ _BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
 # including tiny budgets used by tests to starve the kernel and force
 # the XLA retrace branch.
 _DEFAULT_TILE_MAX_PHASES = 64
+
+# Starved-lane tail size served by the COMPACT retrace (one (8,128) ray
+# tile): lanes the Pallas phase budget could not retire are gathered into
+# a wavefront this size and re-traced by the XLA path, instead of paying
+# a full-framebuffer XLA retrace (whose gathers charge every lane).
+_RETRACE_CAP = 1024
 
 
 @dataclasses.dataclass
@@ -774,10 +784,13 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     _HIT_KEYS = ("found", "t", "px", "py", "pz", "nx", "ny", "nz", "index")
 
     def hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None):
-        """The XLA wavefront traversal (fallback / non-Pallas path)."""
+        """The XLA wavefront traversal (fallback / non-Pallas path).
+        Size-generic: also serves the compact starved-lane retrace on a
+        _RETRACE_CAP-lane wavefront."""
+        m = hox.shape[0]
         if ray_key is None:
-            ignore_type = jnp.full(n, MAT_NONE, dtype=jnp.int32)
-            internal = jnp.ones(n, dtype=F)
+            ignore_type = jnp.full(m, MAT_NONE, dtype=jnp.int32)
+            internal = jnp.ones(m, dtype=F)
             needs = False
         else:
             # ray_key is NaN for non-refracted lanes; the XLA path derives
@@ -822,6 +835,14 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # The floors apply only to the *default* budget: an explicit
         # caller value is honored as-is (this is how tests starve the
         # kernel to exercise the retrace cond branch below).
+        # Round 3 note: budgets deliberately stay moderate. A handful of
+        # lanes can get STUCK in the kernel (a ray grazing a cell-boundary
+        # plane with a near-zero direction component re-derives its DDA
+        # cursor into the region it just left and advances only the 1e-4
+        # park epsilon per phase — measured: 7 of 590K lanes in the
+        # default-workload bounce-shadow class). Chasing them with a
+        # larger budget wastes whole-kernel time (104 ms vs 62 ms at
+        # 1024x576); the compact retrace below mops them up for ~1 ms.
         if tile_max_phases == _DEFAULT_TILE_MAX_PHASES:
             mp = 256 if ray_key is None else 384
         else:
@@ -842,12 +863,38 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                     else {}))
         unfinished = out.pop("unfinished") & mask
 
-        def retrace(op):
+        # COMPACT retrace (round 3): the starved lanes are typically a
+        # tiny tail (single digits at the default budgets — including the
+        # boundary-plane stuck-lane pathology above), but a full-wavefront
+        # XLA retrace costs ~33 ms at 1024x576 because XLA gathers charge
+        # every lane regardless of mask. Gather the tail into a
+        # _RETRACE_CAP-lane wavefront (one (8,128) tile), re-trace with
+        # the same XLA oracle semantics, and scatter the results back —
+        # ~1 ms. Wavefronts with a larger tail fall back to the full
+        # retrace so the result is always complete.
+        n_unf = jnp.sum(unfinished.astype(jnp.int32))
+
+        def retrace_full(op):
             fb = hit_xla(hox, hoy, hoz, hdx, hdy, hdz, unfinished, ray_key)
             return tuple(jnp.where(unfinished, fb[k], op[i])
                          for i, k in enumerate(_HIT_KEYS))
 
-        vals = jax.lax.cond(jnp.any(unfinished), retrace, lambda op: op,
+        def retrace_compact(op):
+            idx = jnp.nonzero(unfinished, size=_RETRACE_CAP,
+                              fill_value=0)[0]
+            cmask = unfinished[idx]
+            ck = None if ray_key is None else ray_key[idx]
+            fb = hit_xla(hox[idx], hoy[idx], hoz[idx],
+                         hdx[idx], hdy[idx], hdz[idx], cmask, ck)
+            return tuple(
+                op[i].at[idx].set(jnp.where(cmask, fb[k], op[i][idx]))
+                for i, k in enumerate(_HIT_KEYS))
+
+        def retrace(op):
+            return jax.lax.cond(n_unf <= _RETRACE_CAP,
+                                retrace_compact, retrace_full, op)
+
+        vals = jax.lax.cond(n_unf > 0, retrace, lambda op: op,
                             tuple(out[k] for k in _HIT_KEYS))
         return dict(zip(_HIT_KEYS, vals))
 
