@@ -92,6 +92,9 @@ class VoxelRT:
         # a per-batch device sync (the bound only triggers a real device
         # read when it crosses capacity)
         self._bricks_upper = int(grid.arrays.active_bricks)
+        # bricks present when the region tables were (re)built; the gap to
+        # _bricks_upper drives the degraded-scene serve policy
+        self._bricks_at_build = self._bricks_upper
         self._tables = None
         self._dist = None
         self._blocks = None   # region-major tables for the Pallas tracer
@@ -120,7 +123,7 @@ class VoxelRT:
         """Trace+(accumulate)+postprocess jitted for one static config."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_samples, dn_pixel_multiplier, max_steps,
-         empty_skip, temporal, row_bands, use_pallas) = key
+         empty_skip, temporal, row_bands, use_pallas, degraded) = key
         static = self.grid_static
 
         def body(arrays, tables, region_blocks, mats, pc, accum):
@@ -138,7 +141,8 @@ class VoxelRT:
                 max_steps=max_steps, tables=tables, use_skip=empty_skip,
                 sample_base=pc[21], row_bands=row_bands,
                 region_blocks=region_blocks,
-                tile_interpret=jax.default_backend() == "cpu")
+                tile_interpret=jax.default_backend() == "cpu",
+                bounce_concurrent=degraded)
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (pc[22] + F(1.0))
@@ -173,6 +177,18 @@ class VoxelRT:
             cfg = jax.default_backend() == "tpu"
         return bool(cfg) and self._tile_tracer_compatible()
 
+    def _scene_degraded(self) -> bool:
+        """True when per-frame edits have scattered enough NEW bricks
+        since the region tables were built that empty-space roaming has
+        collapsed (most regions hold at least one loaded cell — the
+        BASELINE config-3 regime). Incoherent ray classes then switch to
+        the CONCURRENT multi-region serve, which marches all resident
+        region slots in one loop (measured 1.5x on the sprayed 512^3
+        scene's bounce class: 769 -> 505 ms at 1080p). Pure host-side
+        bookkeeping: _bricks_upper is the running insert-path upper bound,
+        so no device reads and no extra dispatches."""
+        return (self._bricks_upper - self._bricks_at_build) > 256
+
     def _step_key(self):
         iw, ih = self.internal_resolution
         ow, oh = self.output_resolution
@@ -184,8 +200,16 @@ class VoxelRT:
                 int(self.trace_config.max_steps),
                 bool(self.trace_config.empty_skip),
                 bool(self.temporal_enabled),
-                int(self.trace_config.row_bands),
-                self._use_pallas())
+                # row banding is an XLA-wavefront optimization (converged
+                # bands stop paying the per-iteration gather cost); under
+                # the Pallas tracer it is pure overhead AND bands whose
+                # height doesn't divide TILE_SUBLANES silently demote the
+                # kernel to strip tiling (1080p/8 = 135 rows — measured
+                # ~4x on the engine frame). The kernel absorbs divergence
+                # internally, so force one band on the Pallas path.
+                1 if self._use_pallas() else int(self.trace_config.row_bands),
+                self._use_pallas(),
+                self._scene_degraded())
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""
@@ -207,7 +231,7 @@ class VoxelRT:
                                                self.arrays, True)
                 self._tables = self._tables_fn(self.grid_static,
                                                self.arrays, self._dist)
-        use_pallas = key[-1]
+        use_pallas = key[14]  # (..., use_pallas, degraded) — see _step_key
         if use_pallas and self._blocks is None:
             from ..ops import tile_tracer
 
@@ -290,6 +314,7 @@ class VoxelRT:
         assert grid.static == self.grid_static, "grid geometry must match"
         self.arrays = grid.device_arrays()
         self._bricks_upper = int(grid.arrays.active_bricks)
+        self._bricks_at_build = self._bricks_upper
         self._tables = None
         self._dist = None
         self._blocks = None

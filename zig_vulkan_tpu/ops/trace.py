@@ -776,7 +776,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    max_steps, tables=None, use_skip=False,
                    region_blocks=None, tile_interpret=False,
                    tile_max_phases=_DEFAULT_TILE_MAX_PHASES,
-                   image_shape=None):
+                   image_shape=None, bounce_concurrent=False):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
@@ -857,8 +857,10 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  interpret=tile_interpret,
                                  image_shape=image_shape,
                                  concurrent=not coherent
-                                 and _BOUNCE_CONCURRENT,
-                                 **({"n_serve": _BOUNCE_N_SERVE}
+                                 and (bounce_concurrent or _BOUNCE_CONCURRENT),
+                                 **({"n_serve": 8} if not coherent
+                                    and bounce_concurrent else
+                                    {"n_serve": _BOUNCE_N_SERVE}
                                     if not coherent and _BOUNCE_N_SERVE > 0
                                     else {}))
         unfinished = out.pop("unfinished") & mask
@@ -1126,7 +1128,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 tables=None, use_skip: bool = False, sample_base=0.0,
                 row_bands: int = 1, region_blocks=None,
                 tile_interpret: bool = False,
-                tile_max_phases: int = _DEFAULT_TILE_MAX_PHASES):
+                tile_max_phases: int = _DEFAULT_TILE_MAX_PHASES,
+                bounce_concurrent: bool = False):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -1154,7 +1157,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 jnp.asarray(sun_position, dtype=F), sun_enabled,
                 jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
                 max_steps, tables, use_skip, region_blocks, tile_interpret,
-                tile_max_phases, image_shape=(band_rows, w))
+                tile_max_phases, image_shape=(band_rows, w),
+                bounce_concurrent=bounce_concurrent)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 
