@@ -191,7 +191,7 @@ def main() -> None:
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
     last_err = None
-    for attempt in (1, 2):
+    for attempt in (1, 2, 3):
         try:
             mrays, note = _attempt(frames)
             _emit(mrays, note)
@@ -199,12 +199,13 @@ def main() -> None:
         except Exception as e:
             last_err = e
             print(f"# attempt {attempt} failed: {e!r}", file=sys.stderr)
-            if attempt == 1:
-                # transient tunnel errors (FAILED_PRECONDITION & friends)
-                # usually clear after a short pause killed round 2's score;
-                # one retry is cheap next to a zero
-                time.sleep(10.0)
-    _emit(0.0, f"failed after retry: {type(last_err).__name__}: {last_err}")
+            if attempt < 3:
+                # transient tunnel errors (FAILED_PRECONDITION, UNAVAILABLE
+                # backend-init) killed round 2's score; the round-3 outage
+                # pattern cleared within minutes, so back off and retry —
+                # the SIGALRM cap still bounds the whole run
+                time.sleep(30.0 * attempt)
+    _emit(0.0, f"failed after retries: {type(last_err).__name__}: {last_err}")
 
 
 if __name__ == "__main__":

@@ -298,6 +298,12 @@ def test_refresh_region_tables_matches_full_rebuild():
 _SHIPPED_TILE_SCRIPT = r"""
 import os
 import numpy as np
+import jax
+
+# the session sitecustomize pins the axon (TPU) platform; plain
+# JAX_PLATFORMS=cpu in the env is not enough (see tests/conftest.py) —
+# without this the "CPU" subprocess silently ran on the TPU tunnel
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from zig_vulkan_tpu.ops import trace

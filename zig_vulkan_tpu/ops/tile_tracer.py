@@ -1257,14 +1257,44 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
         chosen_phase = phase_body_split if split else phase_body
 
         def phase_cond(st_k):
-            st, k = st_k
+            (st, _stall), k = st_k
             return (k < max_phases) & jnp.any(st[0] >= 0)
 
         def phase_wrap(st_k):
-            st, k = st_k
-            return (chosen_phase(k, st), k + 1)
+            (st, stall), k = st_k
+            pend_b, t_b = st[0], st[1]
+            st = chosen_phase(k, st)
+            pend_a, t_a = st[0], st[1]
+            # STALL GUARD (round 3): a lane grazing a cell-boundary plane
+            # with a near-zero direction component can re-derive its DDA
+            # cursor into the region it just left and advance only the
+            # park epsilon per phase — forever. Such a lane is always the
+            # tile's min-t live lane, so the march-order vote serves ITS
+            # region every phase and the whole tile burns the budget on
+            # it. Detect "served but didn't advance" (min-t live lanes
+            # are by construction served each phase; one cell crossing
+            # advances t by >= scale/|d|max >= scale) and after 8 such
+            # phases hand the lane to the compact XLA retrace (code -3,
+            # reported as unfinished) so the tile can retire.
+            # Detection: a lane whose region was NOT served this phase
+            # keeps t exactly (no write); a SERVED lane either crosses
+            # cells (t advances by >= scale/|d|max >= 0.5*scale) or is
+            # stuck and collects only the 1e-4*scale park epsilon. So
+            # "strictly positive but far sub-cell advance" identifies a
+            # served-and-stuck phase without knowing the vote.
+            dt = t_a - t_b
+            advanced = dt > F(0.01) * scale
+            tiny = (dt > F(0.0)) & ~advanced & (pend_a >= 0)
+            stall = jnp.where(tiny, stall + 1,
+                              jnp.where(advanced, jnp.int32(0), stall))
+            give_up = (stall >= 8) & (pend_a >= 0)
+            pend_a = jnp.where(give_up, jnp.int32(-3), pend_a)
+            st = (pend_a,) + tuple(st[1:])
+            return ((st, stall), k + 1)
 
-        st, _ = jax.lax.while_loop(phase_cond, phase_wrap, (st, jnp.int32(0)))
+        (st, _stall), _ = jax.lax.while_loop(
+            phase_cond, phase_wrap,
+            ((st, jnp.zeros_like(st[0])), jnp.int32(0)))
         (pending, t_cur, ncode, found_i, out_t, out_addr,
          n_phase, n_step) = st
         found_ref[:] = found_i
@@ -1352,9 +1382,12 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
       reshape(ox), reshape(oy), reshape(oz),
       reshape(dx), reshape(dy), reshape(dz),
       reshape(t_base), reshape(active.astype(jnp.int32)), reshape(ray_key))
+    pend_flat = pending.reshape(n)
     out = dict(found=found.reshape(n) != 0, t=t.reshape(n),
                ncode=ncode.reshape(n), mat_addr=addr.reshape(n),
-               unfinished=pending.reshape(n) >= 0)
+               # >= 0: phase budget ran out; -3: the stall guard handed
+               # the lane to the compact retrace (see phase_wrap)
+               unfinished=(pend_flat >= 0) | (pend_flat == -3))
     if stats:
         packed = pending.reshape(n)
         out["n_phase"] = packed // 100000
