@@ -128,6 +128,14 @@ _N_FIELDS = 8   # padded to 8 for DMA-friendly power-of-two blocks
 # regions served per phase in the split kernel (voted in march order, all
 # DMA'd up front, served sequentially). ZVT_N_SERVE overrides for tuning.
 _N_SERVE = int(__import__("os").environ.get("ZVT_N_SERVE", "2"))
+
+# Phase-level stall guard (see phase_wrap): hands permanently-stuck
+# boundary-plane lanes to the compact XLA retrace after 8 no-progress
+# serves instead of burning the tile's whole phase budget. Interpret-mode
+# validated; DEFAULT OFF until the remote Mosaic compiler has accepted it
+# on hardware (a compile regression in the driver bench would score the
+# round zero — flip to "1" after a clean hardware run).
+_STALL_GUARD = __import__("os").environ.get("ZVT_STALL_GUARD", "0") == "1"
 if _N_SERVE < 1:
     raise ValueError(f"ZVT_N_SERVE must be >= 1, got {_N_SERVE}")
 
@@ -1256,6 +1264,14 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 
         chosen_phase = phase_body_split if split else phase_body
 
+        def phase_cond_plain(st_k):
+            st, k = st_k
+            return (k < max_phases) & jnp.any(st[0] >= 0)
+
+        def phase_wrap_plain(st_k):
+            st, k = st_k
+            return (chosen_phase(k, st), k + 1)
+
         def phase_cond(st_k):
             (st, _stall), k = st_k
             return (k < max_phases) & jnp.any(st[0] >= 0)
@@ -1292,9 +1308,13 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             st = (pend_a,) + tuple(st[1:])
             return ((st, stall), k + 1)
 
-        (st, _stall), _ = jax.lax.while_loop(
-            phase_cond, phase_wrap,
-            ((st, jnp.zeros_like(st[0])), jnp.int32(0)))
+        if _STALL_GUARD:
+            (st, _stall), _ = jax.lax.while_loop(
+                phase_cond, phase_wrap,
+                ((st, jnp.zeros_like(st[0])), jnp.int32(0)))
+        else:
+            st, _ = jax.lax.while_loop(phase_cond_plain, phase_wrap_plain,
+                                       (st, jnp.int32(0)))
         (pending, t_cur, ncode, found_i, out_t, out_addr,
          n_phase, n_step) = st
         found_ref[:] = found_i
