@@ -51,8 +51,6 @@ METRIC = "primary_ray_throughput_1080p_512^3"
 BASELINE_MRAYS_PER_CHIP = 125.0  # 1 Gray/s on v5e-8 (BASELINE.json)
 SCENE_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                             ".bench_scene_cache.npz")
-# bump when default_scene() or the GridArrays layout changes
-SCENE_CACHE_VERSION = 3
 
 
 def _emit(value: float, note: str | None = None) -> None:
@@ -81,7 +79,8 @@ def _load_or_build_scene():
     from zig_vulkan_tpu.models.scenes import cached_default_scene
 
     t0 = time.time()
-    sc = cached_default_scene(SCENE_CACHE, version=SCENE_CACHE_VERSION)
+    # version tag lives with cached_default_scene (single source of truth)
+    sc = cached_default_scene(SCENE_CACHE)
     print(f"# scene: {sc.grid.static.voxel_dims} voxels, "
           f"{int(sc.grid.arrays.active_bricks)} bricks, "
           f"ready in {time.time() - t0:.1f}s", file=sys.stderr)

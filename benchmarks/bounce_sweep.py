@@ -21,7 +21,11 @@ cross-combo compile-cache interference in the timing).
 from __future__ import annotations
 
 import os as _os
+import sys as _sys
 
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zvt_jax_cache")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
@@ -49,7 +53,7 @@ def main() -> None:
     width, height = 1024, 576
     cache = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), ".bench_scene_cache.npz")
-    sc = cached_default_scene(cache, version=3)
+    sc = cached_default_scene(cache)
     static = sc.grid.static
     arrays = sc.grid.device_arrays()
     tables = jax.jit(tt.build_trace_tables, static_argnums=0)(static, arrays)

@@ -23,6 +23,13 @@ sys.path.insert(0, _REPO)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax  # noqa: E402
+
+# the session sitecustomize pins the axon (TPU) platform; the env var
+# alone is silently overridden (see tests/conftest.py) — force at the
+# config level so fixture generation is hermetic and CPU-deterministic
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 

@@ -115,7 +115,10 @@ class _RawTty:
         if self._saved is not None:
             import termios
 
-            sys.stdout.write("\x1b[?1003l\x1b[?1006l\x1b[0 q")
+            # reset mouse tracking, cursor style AND visibility — paint()
+            # hides the cursor in game mode, so exiting without ?25h would
+            # leave the user's shell cursor invisible
+            sys.stdout.write("\x1b[?1003l\x1b[?1006l\x1b[0 q\x1b[?25h")
             sys.stdout.flush()
             termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN,
                               self._saved)
@@ -183,6 +186,7 @@ class LiveViewer:
         self.max_rows = max_rows
         self._held: dict = {}   # Key -> (expire time, mods)
         self._cursor = [0.0, 0.0]
+        self._last_mouse_cell = None  # baseline for relative mouse-look
         self.frames = 0
         self.screenshot_dir = "/tmp/zvt_live"
 
@@ -224,11 +228,23 @@ class LiveViewer:
             elif kind == "mouse":
                 # real mouse-look: terminal cell coords scaled to cursor
                 # pixels feed the same cursor-delta path as the reference
-                # (main.zig:294-310)
+                # (main.zig:294-310). Deltas are taken against the LAST
+                # MOUSE cell — arrow-look shares self._cursor, so an
+                # absolute assignment here would register the whole
+                # arrow-accumulated offset as one violent jump on the
+                # first physical mouse motion after keyboard look.
                 cx, cy = val
-                self._cursor[0] = cx * MOUSE_CELL_PIXELS
-                self._cursor[1] = cy * MOUSE_CELL_PIXELS
+                if self._last_mouse_cell is not None:
+                    self._cursor[0] += ((cx - self._last_mouse_cell[0])
+                                        * MOUSE_CELL_PIXELS)
+                    self._cursor[1] += ((cy - self._last_mouse_cell[1])
+                                        * MOUSE_CELL_PIXELS)
+                else:
+                    # baseline event: zero delta, but still primes the
+                    # input layer's previous-cursor state
+                    pass
                 self.inp.cursor_event(self._cursor[0], self._cursor[1])
+                self._last_mouse_cell = (cx, cy)
             elif kind == "esc":
                 self.inp.key_event(Key.ESCAPE, Action.PRESS)
                 self.inp.key_event(Key.ESCAPE, Action.RELEASE)

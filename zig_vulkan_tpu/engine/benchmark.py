@@ -146,10 +146,16 @@ class Benchmark:
 
         self.camera.propagate_pitch_change()
 
-        self.report.min_delta_time = min(self.report.min_delta_time, record)
-        self.report.max_delta_time = max(self.report.max_delta_time, record)
-        self.report.delta_time_sum += record
-        self.report.delta_time_sum_samples += 1
+        # record_dt <= 0 = "advance the path but record no sample" (the
+        # engine's frame 0: dt measures setup time, not a rendered frame,
+        # and would print as a ~0 ms Min in the report)
+        if record > 0:
+            self.report.min_delta_time = min(self.report.min_delta_time,
+                                             record)
+            self.report.max_delta_time = max(self.report.max_delta_time,
+                                             record)
+            self.report.delta_time_sum += record
+            self.report.delta_time_sum_samples += 1
 
         return self.timer >= self.duration
 

@@ -92,9 +92,10 @@ class VoxelRT:
         # a per-batch device sync (the bound only triggers a real device
         # read when it crosses capacity)
         self._bricks_upper = int(grid.arrays.active_bricks)
-        # bricks present when the region tables were (re)built; the gap to
-        # _bricks_upper drives the degraded-scene serve policy
-        self._bricks_at_build = self._bricks_upper
+        # distinct cells touched by edit batches since the scene was
+        # loaded — drives the degraded-scene serve policy (a SET, so
+        # repeatedly carving the same spot never accumulates)
+        self._edited_cells = set()
         self._tables = None
         self._dist = None
         self._blocks = None   # region-major tables for the Pallas tracer
@@ -178,16 +179,19 @@ class VoxelRT:
         return bool(cfg) and self._tile_tracer_compatible()
 
     def _scene_degraded(self) -> bool:
-        """True when per-frame edits have scattered enough NEW bricks
-        since the region tables were built that empty-space roaming has
-        collapsed (most regions hold at least one loaded cell — the
-        BASELINE config-3 regime). Incoherent ray classes then switch to
-        the CONCURRENT multi-region serve, which marches all resident
-        region slots in one loop (measured 1.5x on the sprayed 512^3
-        scene's bounce class: 769 -> 505 ms at 1080p). Pure host-side
-        bookkeeping: _bricks_upper is the running insert-path upper bound,
-        so no device reads and no extra dispatches."""
-        return (self._bricks_upper - self._bricks_at_build) > 256
+        """True when edit batches have touched enough DISTINCT cells since
+        scene load that empty-space roaming has likely collapsed (random
+        sprays mark most regions non-empty — the BASELINE config-3
+        regime). Incoherent ray classes then switch to the CONCURRENT
+        multi-region serve, which marches all resident region slots in
+        one loop (measured 1.5x on the sprayed 512^3 scene's bounce
+        class: 769 -> 505 ms at 1080p). Pure host-side bookkeeping (a
+        set of edited cell ids): no device reads, no extra dispatches,
+        and repeated edits to the same area never trip it. Heuristic by
+        design: a large COHERENT build (one wall) can also cross the
+        threshold and pay the concurrent serve's small overhead on a
+        still-roamable scene."""
+        return len(self._edited_cells) > 256
 
     def _step_key(self):
         iw, ih = self.internal_resolution
@@ -314,7 +318,7 @@ class VoxelRT:
         assert grid.static == self.grid_static, "grid geometry must match"
         self.arrays = grid.device_arrays()
         self._bricks_upper = int(grid.arrays.active_bricks)
-        self._bricks_at_build = self._bricks_upper
+        self._edited_cells = set()
         self._tables = None
         self._dist = None
         self._blocks = None
@@ -396,6 +400,7 @@ class VoxelRT:
         # (which cells are actually unloaded).
         st = self.grid_static
         uniq_cells = np.unique(self._cells_of(xyz))
+        self._edited_cells.update(uniq_cells.tolist())
         if self._bricks_upper + uniq_cells.size > st.brick_alloc:
             statuses = np.asarray(jax.device_get(self.arrays.statuses))
             loaded = (statuses[uniq_cells // 32]
@@ -508,8 +513,12 @@ class VoxelRT:
             path_dt = fixed_dt if fixed_dt is not None else dt
             self.update_sun(path_dt)
             self.draw(dt)
+            # frame 0's dt is the microseconds since `prev` was set, not a
+            # rendered-frame time — recording it would print a ~0 ms Min
+            # in the report; skip its sample (the reference's first frame
+            # is likewise warm-up noise)
             done = bench.update(path_dt if frames > 0 else 1e-3,
-                                record_dt=dt)
+                                record_dt=dt if frames > 0 else -1.0)
             frames += 1
         self.camera.reset()
         if verbose:

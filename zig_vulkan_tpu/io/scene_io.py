@@ -17,9 +17,13 @@ from ..core.materials import MaterialTable
 
 
 def save_scene(path: str, static: GridStatic, arrays: GridArrays,
-               materials: MaterialTable) -> None:
+               materials: MaterialTable, **extra) -> None:
+    """`extra`: additional arrays stored alongside the scene (e.g. the
+    scene-cache version tag) so callers don't have to rewrite the
+    multi-MB compressed npz a second time to append a key."""
     np.savez_compressed(
         path,
+        **extra,
         dim_x=static.dim_x, dim_y=static.dim_y, dim_z=static.dim_z,
         brick_alloc=static.brick_alloc,
         # float64 so GridStatic's Python floats round-trip exactly (they are

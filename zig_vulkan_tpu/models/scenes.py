@@ -135,11 +135,7 @@ def cached_default_scene(cache_path: str,
     sc = default_scene()
     try:
         scene_io.save_scene(cache_path, sc.grid.static, sc.grid.arrays,
-                            sc.materials)
-        with np.load(cache_path) as z:
-            payload = {k: z[k] for k in z.files}
-        payload["cache_version"] = np.int64(version)
-        np.savez_compressed(cache_path, **payload)
+                            sc.materials, cache_version=np.int64(version))
     except Exception as e:
         print(f"# scene cache write failed ({e!r}); continuing",
               file=sys.stderr)

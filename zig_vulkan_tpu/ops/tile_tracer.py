@@ -708,8 +708,14 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 def slot_of(region_ids):
                     s = jnp.full(region_ids.shape, -1, jnp.int32)
                     for i in range(n_serve):
-                        si = jnp.where(hases[i], jnp.int32(i), jnp.int32(-1))
-                        s = jnp.where(region_ids == rids[i], si, s)
+                        # guard the match with hases[i]: an EMPTY vote
+                        # slot's rid is the clipped nr-1, and an
+                        # unconditional match would overwrite a real
+                        # earlier mapping of the corner region with -1 —
+                        # lanes pending it would repeat the identical
+                        # no-op vote until the phase budget burned out
+                        s = jnp.where((region_ids == rids[i]) & hases[i],
+                                      jnp.int32(i), s)
                     return s
 
                 slot0 = jnp.where(pending >= 0, slot_of(pending),
