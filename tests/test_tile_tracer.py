@@ -408,3 +408,57 @@ def test_unfinished_lanes_reported_and_retraced():
                                tile_max_phases=1)
     diff = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
     assert (diff > 1e-3).mean() < 0.005, float((diff > 1e-3).mean())
+
+
+def test_concurrent_serve_corner_region_no_livelock():
+    """Regression (round-3 review): an EMPTY vote slot's rid is clipped
+    to nr-1, and an unguarded slot_of match overwrote the corner
+    region's REAL slot mapping with -1 — lanes pending region nr-1
+    repeated an identical no-op vote until the phase budget burned out
+    whenever a concurrent tile had fewer distinct pending regions than
+    n_serve. Geometry and rays confined to the corner region with
+    n_serve=4 reproduces it deterministically."""
+    from zig_vulkan_tpu.ops.tile_tracer import (TILE, grid_hit_tiles,
+                                                region_grid)
+
+    grid = BrickGrid(32, 32, 32, GridConfig(min_point=(0.0, 0.0, 0.0),
+                                            scale=1.0))
+    mats_t = terrain_materials()
+    grid.attach_materials(mats_t)
+    # a slab only in the corner (max y,z,x) region
+    xs, zs = np.meshgrid(np.arange(100, 124), np.arange(100, 124),
+                         indexing="ij")
+    # insert Y-flips (Grid.zig:135): inserted y=4 sits at WORLD y=123 —
+    # cell y=30, i.e. the LAST y-region — so with high x/z the slab
+    # occupies region id nr-1 exactly (the clipped-rid collision the
+    # regression needs)
+    grid.insert_batch(xs.ravel(), np.full(xs.size, 4), zs.ravel(),
+                      np.full(xs.size, 1, dtype=np.uint8))
+    st = grid.static
+    arrays = grid.device_arrays()
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+
+    n = TILE
+    rng = np.random.default_rng(7)
+    # world units: scale=1.0 is the CELL size -> voxel 0.25, extent 32.
+    # The slab (voxels 100-123 in x/z, world 25-31; inserted y=4 → world
+    # y≈30.9 after the flip) sits in the max-(y,z,x) region = id nr-1.
+    ox = rng.uniform(25.3, 30.7, n).astype(np.float32)
+    oz = rng.uniform(25.3, 30.7, n).astype(np.float32)
+    oy = np.full(n, 31.6, np.float32)
+    d = np.stack([np.full(n, 0.01, np.float32),
+                  np.full(n, -1.0, np.float32),
+                  np.full(n, 0.02, np.float32)], axis=-1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    got = grid_hit_tiles(
+        st, arrays, blocks,
+        jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(oz),
+        jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+        jnp.ones(n, bool), max_phases=64, interpret=True,
+        concurrent=True, n_serve=4)
+    assert not np.asarray(got["unfinished"]).any(), (
+        "corner-region lanes livelocked in the concurrent serve")
+    # every ray points at the slab from directly above: all must hit
+    assert np.asarray(got["found"]).all()
