@@ -213,3 +213,35 @@ def test_incremental_table_refresh_matches_full_rebuild():
     want = np.asarray(trace_mod.build_trace_tables(
         rt.grid_static, rt.arrays, rt._dist))
     np.testing.assert_array_equal(got, want)
+
+
+def test_degraded_scene_switches_to_concurrent_serve():
+    """The adaptive serve policy (round 3): once edit batches have
+    touched >256 DISTINCT cells, _scene_degraded() flips, the step key
+    changes (incoherent classes route through the concurrent
+    multi-region serve), and rendering still works. Repeated edits to
+    the SAME cells must NOT trip it (the set semantics)."""
+    rt = small_engine()
+    assert not rt._scene_degraded()
+    key0 = rt._step_key()
+
+    # hammer the same small neighborhood: never degrades
+    xyz_same = np.stack(np.meshgrid(np.arange(8, 12), np.arange(8, 12),
+                                    np.arange(8, 12), indexing="ij"),
+                        axis=-1).reshape(-1, 3).astype(np.int32)
+    for _ in range(8):
+        rt.insert_voxels(xyz_same, np.full(xyz_same.shape[0], 5, np.uint8))
+    assert not rt._scene_degraded(), "same-spot edits must not degrade"
+
+    # spray distinct cells across the volume: degrades past 256 cells
+    rng = np.random.default_rng(3)
+    vx, vy, vz = rt.grid_static.voxel_dims
+    for _ in range(5):
+        xyz = np.stack([rng.integers(0, vx, 128), rng.integers(0, vy, 128),
+                        rng.integers(0, vz, 128)], axis=-1).astype(np.int32)
+        rt.insert_voxels(xyz, np.full(128, 5, np.uint8))
+    assert rt._scene_degraded()
+    key1 = rt._step_key()
+    assert key0 != key1, "degraded flag must change the step key"
+    img = np.asarray(rt.render())
+    assert np.isfinite(img).all()
