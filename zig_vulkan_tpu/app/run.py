@@ -96,6 +96,12 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler trace to this dir")
     args = p.parse_args(argv)
 
+    # honor an explicit JAX_PLATFORMS=cpu before any backend initializes
+    # (the session's TPU plugin hook otherwise overrides the env var)
+    from ..utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+
     t0 = time.time()
     rt = build_engine(args)
     print(f"scene + engine ready in {time.time() - t0:.1f}s "
