@@ -105,3 +105,31 @@ def test_denoise_with_resample_shape():
     out = np.asarray(dn.denoise(img, out_shape=(24, 32)))
     assert out.shape == (24, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_runtime_samples_matches_static_loop():
+    """The runtime-`samples` path (traced scalar + masked taps — the
+    reference's push constant, image.frag:18-23) must equal the static
+    loop at the same value bit-for-bit: masked taps add exactly 0.0."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 16, 3)).astype(F))
+    for samples in (1, 8, 20, dn.MAX_RUNTIME_SAMPLES):
+        static = np.asarray(dn.denoise(img, samples=samples))
+        runtime = np.asarray(dn.denoise(
+            img, samples=jnp.asarray(samples, jnp.float32),
+            max_samples=dn.MAX_RUNTIME_SAMPLES))
+        np.testing.assert_array_equal(runtime, static)
+
+
+def test_runtime_samples_single_trace():
+    """Changing the runtime `samples` value must reuse ONE compiled
+    program (no retrace) and still change the output."""
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.uniform(0.1, 0.9, size=(12, 12, 3)).astype(F))
+    misses0 = dn._denoise_runtime._cache_size()
+    out8 = np.asarray(dn.denoise(img, samples=jnp.asarray(8, jnp.float32),
+                                 max_samples=dn.MAX_RUNTIME_SAMPLES))
+    out32 = np.asarray(dn.denoise(img, samples=jnp.asarray(32, jnp.float32),
+                                  max_samples=dn.MAX_RUNTIME_SAMPLES))
+    assert dn._denoise_runtime._cache_size() == misses0 + 1
+    assert np.abs(out8 - out32).max() > 1e-6

@@ -216,32 +216,90 @@ def test_incremental_table_refresh_matches_full_rebuild():
 
 
 def test_degraded_scene_switches_to_concurrent_serve():
-    """The adaptive serve policy (round 3): once edit batches have
-    touched >256 DISTINCT cells, _scene_degraded() flips, the step key
-    changes (incoherent classes route through the concurrent
-    multi-region serve), and rendering still works. Repeated edits to
-    the SAME cells must NOT trip it (the set semantics)."""
+    """The adaptive serve policy (round 4: a direct ROAMABILITY measure —
+    fraction of non-empty regions — replacing the round-3 edit-history
+    heuristic): once inserts mark more than `degraded_nonempty_fraction`
+    of regions non-empty, _scene_degraded() flips, the step key changes
+    (incoherent classes route through the concurrent multi-region
+    serve), and rendering still works. Edits confined to already
+    non-empty regions — however many distinct cells — must NOT trip it."""
     rt = small_engine()
+    # the flat test scene: floor region non-empty, sky region empty
+    assert rt._n_regions == 2
+    assert len(rt._nonempty_regions) == 1
     assert not rt._scene_degraded()
     key0 = rt._step_key()
 
-    # hammer the same small neighborhood: never degrades
-    xyz_same = np.stack(np.meshgrid(np.arange(8, 12), np.arange(8, 12),
-                                    np.arange(8, 12), indexing="ij"),
+    # hammer cells in the already-occupied floor region: never degrades,
+    # regardless of how many distinct cells the batches touch
+    xyz_same = np.stack(np.meshgrid(np.arange(0, 32), np.arange(8, 12),
+                                    np.arange(0, 32), indexing="ij"),
                         axis=-1).reshape(-1, 3).astype(np.int32)
-    for _ in range(8):
+    for _ in range(2):
         rt.insert_voxels(xyz_same, np.full(xyz_same.shape[0], 5, np.uint8))
-    assert not rt._scene_degraded(), "same-spot edits must not degrade"
+    assert not rt._scene_degraded(), \
+        "edits inside non-empty regions must not degrade"
 
-    # spray distinct cells across the volume: degrades past 256 cells
+    # spray into the empty sky region: roaming collapses -> degraded
     rng = np.random.default_rng(3)
     vx, vy, vz = rt.grid_static.voxel_dims
-    for _ in range(5):
-        xyz = np.stack([rng.integers(0, vx, 128), rng.integers(0, vy, 128),
-                        rng.integers(0, vz, 128)], axis=-1).astype(np.int32)
-        rt.insert_voxels(xyz, np.full(128, 5, np.uint8))
+    xyz = np.stack([rng.integers(0, vx, 128),
+                    rng.integers(vy - 8, vy, 128),
+                    rng.integers(0, vz, 128)], axis=-1).astype(np.int32)
+    rt.insert_voxels(xyz, np.full(128, 5, np.uint8))
     assert rt._scene_degraded()
     key1 = rt._step_key()
     assert key0 != key1, "degraded flag must change the step key"
     img = np.asarray(rt.render())
     assert np.isfinite(img).all()
+
+
+def test_scene_loaded_degraded_detected_at_init():
+    """A scene that ARRIVES with collapsed roaming (e.g. loaded via
+    scene_io) must be detected at engine construction — the round-3
+    edit-history heuristic could not see this."""
+    from zig_vulkan_tpu.models.scenes import flat_test_scene
+
+    sc = flat_test_scene(dim=8)
+    rng = np.random.default_rng(11)
+    vx, vy, vz = sc.grid.static.voxel_dims
+    xyz = np.stack([rng.integers(0, vx, 256), rng.integers(0, vy, 256),
+                    rng.integers(0, vz, 256)], axis=-1).astype(np.int32)
+    sc.grid.insert_batch(xyz[:, 0], xyz[:, 1], xyz[:, 2],
+                         np.full(256, 5, dtype=np.uint8))
+    cfg = EngineConfig(
+        internal_resolution_width=32, internal_resolution_height=24,
+        camera=CameraConfig(origin=(4.0, 6.5, 15.0), samples_per_pixel=1,
+                            max_bounce=0),
+        sun=SunConfig(enabled=False), denoiser=DenoiserConfig(enabled=False),
+        trace=TraceConfig(max_steps=256))
+    rt = VoxelRT(sc.grid, sc.materials, cfg)
+    assert rt._scene_degraded()
+
+
+def test_denoiser_samples_runtime_no_retrace():
+    """`samples` is a runtime push constant in the reference
+    (image.frag:18-23); the GUI slider must change output WITHOUT a new
+    jit trace — the step key is samples-independent and the value rides
+    the packed push-constant array (pc[23])."""
+    sc = flat_test_scene(dim=8)
+    cfg = EngineConfig(
+        internal_resolution_width=32, internal_resolution_height=24,
+        camera=CameraConfig(origin=(4.0, 6.5, 15.0), samples_per_pixel=1,
+                            max_bounce=0),
+        sun=SunConfig(enabled=False),
+        denoiser=DenoiserConfig(enabled=True, samples=8),
+        trace=TraceConfig(max_steps=256))
+    rt = VoxelRT(sc.grid, sc.materials, cfg)
+    key0 = rt._step_key()
+    a = np.asarray(rt.render())
+    rt.set_denoiser(samples=32)
+    assert rt._step_key() == key0, "samples must not be in the step key"
+    b = np.asarray(rt.render())
+    assert len(rt._step_cache) == 1, "slider move must not retrace"
+    assert np.abs(a - b).max() > 1e-6, "slider move must change output"
+    # other runtime knobs keep riding push constants too
+    rt.set_denoiser(distribution_bias=0.9, inverse_hue_tolerance=5.0)
+    c = np.asarray(rt.render())
+    assert len(rt._step_cache) == 1
+    assert not np.array_equal(b, c)

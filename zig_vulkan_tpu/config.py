@@ -98,6 +98,12 @@ class TraceConfig:
     # sequential row bands per trace (lax.map): fast bands stop paying for
     # slow ones; ~1.6x at 1080p. Used when the band height divides evenly.
     row_bands: int = 8
+    # the scene counts as "degraded" (empty-space roaming collapsed;
+    # incoherent ray classes switch to the concurrent multi-region serve)
+    # when more than this fraction of regions is non-empty. Measured:
+    # default terrain scene 0.27; BASELINE config-3 spray 0.56 after one
+    # 512-voxel random-insert frame.
+    degraded_nonempty_fraction: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

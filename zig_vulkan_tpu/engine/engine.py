@@ -92,10 +92,15 @@ class VoxelRT:
         # a per-batch device sync (the bound only triggers a real device
         # read when it crosses capacity)
         self._bricks_upper = int(grid.arrays.active_bricks)
-        # distinct cells touched by edit batches since the scene was
-        # loaded — drives the degraded-scene serve policy (a SET, so
-        # repeatedly carving the same spot never accumulates)
-        self._edited_cells = set()
+        # host-side mirror of the coarse table's per-region nonempty bit
+        # (the direct roamability measure) — drives the degraded-scene
+        # serve policy. Exact and cheap: regions only flip empty->nonempty
+        # (inserts), never back (removals keep statuses loaded, matching
+        # the coarse-table semantics), so a set of region ids bounded by
+        # the region count suffices. Initialized from the actual scene so
+        # a scene LOADED degraded is detected too.
+        self._n_regions, self._nonempty_regions = _region_occupancy(
+            self.grid_static, np.asarray(grid.arrays.statuses))
         self._tables = None
         self._dist = None
         self._blocks = None   # region-major tables for the Pallas tracer
@@ -123,7 +128,7 @@ class VoxelRT:
     def _build_step(self, key):
         """Trace+(accumulate)+postprocess jitted for one static config."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
-         dn_enabled, dn_samples, dn_pixel_multiplier, max_steps,
+         dn_enabled, dn_pixel_multiplier, max_steps,
          empty_skip, temporal, row_bands, use_pallas, degraded) = key
         static = self.grid_static
 
@@ -149,10 +154,14 @@ class VoxelRT:
                 accum = accum + (img - accum) / (pc[22] + F(1.0))
                 img = accum
             if dn_enabled:
+                # `samples` rides the push-constant array like the
+                # reference's runtime push constant (image.frag:18-23):
+                # the GUI slider changes output with NO retrace
                 out = denoise_mod.denoise(
-                    img, samples=dn_samples, distribution_bias=pc[19],
+                    img, samples=pc[23], distribution_bias=pc[19],
                     pixel_multiplier=dn_pixel_multiplier,
-                    inverse_hue_tolerance=pc[20], out_shape=(oh, ow))
+                    inverse_hue_tolerance=pc[20], out_shape=(oh, ow),
+                    max_samples=denoise_mod.MAX_RUNTIME_SAMPLES)
             else:
                 out = denoise_mod.bilinear_resample(img, oh, ow)
             return out, accum
@@ -179,19 +188,21 @@ class VoxelRT:
         return bool(cfg) and self._tile_tracer_compatible()
 
     def _scene_degraded(self) -> bool:
-        """True when edit batches have touched enough DISTINCT cells since
-        scene load that empty-space roaming has likely collapsed (random
-        sprays mark most regions non-empty — the BASELINE config-3
-        regime). Incoherent ray classes then switch to the CONCURRENT
-        multi-region serve, which marches all resident region slots in
-        one loop (measured 1.5x on the sprayed 512^3 scene's bounce
-        class: 769 -> 505 ms at 1080p). Pure host-side bookkeeping (a
-        set of edited cell ids): no device reads, no extra dispatches,
-        and repeated edits to the same area never trip it. Heuristic by
-        design: a large COHERENT build (one wall) can also cross the
-        threshold and pay the concurrent serve's small overhead on a
-        still-roamable scene."""
-        return len(self._edited_cells) > 256
+        """True when the fraction of NON-EMPTY regions exceeds the
+        threshold, i.e. empty-space roaming has collapsed (the BASELINE
+        config-3 regime: random sprays mark most regions non-empty).
+        Incoherent ray classes then switch to the CONCURRENT multi-region
+        serve, which marches all resident region slots in one loop
+        (measured 1.5x on the sprayed 512^3 scene's bounce class: 769 ->
+        505 ms at 1080p). This measures ROAMABILITY directly (the
+        host-side mirror of the coarse table's nonempty bits, maintained
+        exactly — see __init__), not edit history: a large coherent
+        build (one wall) touches few regions and never trips it, and a
+        scene loaded already-degraded trips it immediately. Measured
+        fractions: default terrain scene 0.27; config-3 spray 0.56 after
+        ONE 512-voxel frame, 0.84 after three."""
+        frac = len(self._nonempty_regions) / max(1, self._n_regions)
+        return frac > float(self.trace_config.degraded_nonempty_fraction)
 
     def _step_key(self):
         iw, ih = self.internal_resolution
@@ -199,7 +210,9 @@ class VoxelRT:
         d = self.camera.d_camera
         return (iw, ih, ow, oh, int(d.samples_per_pixel), int(d.max_bounce),
                 bool(self.sun.device_data.enabled),
-                bool(self.denoiser.enabled), int(self.denoiser.samples),
+                # denoiser `samples` is deliberately NOT in the key — it
+                # is a runtime push constant (pc[23]), like the reference
+                bool(self.denoiser.enabled),
                 float(self.denoiser.pixel_multiplier),
                 int(self.trace_config.max_steps),
                 bool(self.trace_config.empty_skip),
@@ -235,7 +248,7 @@ class VoxelRT:
                                                self.arrays, True)
                 self._tables = self._tables_fn(self.grid_static,
                                                self.arrays, self._dist)
-        use_pallas = key[14]  # (..., use_pallas, degraded) — see _step_key
+        use_pallas = self._use_pallas()  # same resolver _step_key uses
         if use_pallas and self._blocks is None:
             from ..ops import tile_tracer
 
@@ -291,6 +304,8 @@ class VoxelRT:
         pc[21] = np.float32(self._accum_count * spp
                             if self.temporal_enabled else 0.0)
         pc[22] = np.float32(self._accum_count)
+        pc[23] = np.float32(min(int(self.denoiser.samples),
+                                denoise_mod.MAX_RUNTIME_SAMPLES))
         return pc
 
     def draw(self, dt: float | None = None):
@@ -318,7 +333,8 @@ class VoxelRT:
         assert grid.static == self.grid_static, "grid geometry must match"
         self.arrays = grid.device_arrays()
         self._bricks_upper = int(grid.arrays.active_bricks)
-        self._edited_cells = set()
+        self._n_regions, self._nonempty_regions = _region_occupancy(
+            self.grid_static, np.asarray(grid.arrays.statuses))
         self._tables = None
         self._dist = None
         self._blocks = None
@@ -400,7 +416,6 @@ class VoxelRT:
         # (which cells are actually unloaded).
         st = self.grid_static
         uniq_cells = np.unique(self._cells_of(xyz))
-        self._edited_cells.update(uniq_cells.tolist())
         if self._bricks_upper + uniq_cells.size > st.brick_alloc:
             statuses = np.asarray(jax.device_get(self.arrays.statuses))
             loaded = (statuses[uniq_cells // 32]
@@ -414,6 +429,10 @@ class VoxelRT:
             self._bricks_upper = active + actually_new
         else:
             self._bricks_upper += uniq_cells.size
+        # roamability bookkeeping AFTER the capacity guard: a rejected
+        # batch must not mark regions nonempty
+        self._nonempty_regions.update(
+            _regions_of_cells(st, uniq_cells).tolist())
         size = self._padded(n)
         pad_xyz = np.zeros((size, 3), dtype=np.int32)
         pad_xyz[:n] = xyz
@@ -478,11 +497,19 @@ class VoxelRT:
             self._refresh_blocks_fn = jax.jit(
                 tile_tracer.refresh_region_tables, static_argnums=(0, 5),
                 donate_argnums=1)
-        with profiling.zone("refresh_region_blocks"):
-            self._blocks = self._refresh_blocks_fn(
-                self.grid_static, self._blocks, self._tables,
-                jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid),
-                repack)
+        try:
+            with profiling.zone("refresh_region_blocks"):
+                self._blocks = self._refresh_blocks_fn(
+                    self.grid_static, self._blocks, self._tables,
+                    jnp.asarray(self._cells_of(pad_xyz)), jnp.asarray(valid),
+                    repack)
+        except Exception:
+            # the call donates self._blocks: if it raises (e.g. a
+            # transient TPU FAILED_PRECONDITION), the old buffer may
+            # already be invalidated — drop it so the next render does a
+            # lazy full rebuild instead of dispatching a dead reference
+            self._blocks = None
+            raise
 
     # -- benchmark (reference VoxelRT.createBenchmark, VoxelRT.zig:72-74) --------
 
@@ -539,3 +566,32 @@ class VoxelRT:
 def device_name() -> str:
     d = jax.devices()[0]
     return f"{d.device_kind} ({d.platform})"
+
+
+def _region_occupancy(static, statuses: np.ndarray):
+    """(n_regions, set of nonempty region ids) from host status bits —
+    the host mirror of tile_tracer._build_coarse's nonempty bit."""
+    from ..ops.tile_tracer import REGION_CELLS, region_grid
+
+    ry, rz, rx = REGION_CELLS
+    ny, nz, nx = region_grid(static)
+    cells = static.dim_x * static.dim_y * static.dim_z
+    bits = np.unpackbits(statuses.view(np.uint8), bitorder="little")[:cells]
+    vol = np.zeros((ny * ry, nz * rz, nx * rx), dtype=bool)
+    vol[:static.dim_y, :static.dim_z, :static.dim_x] = (
+        bits.reshape(static.dim_y, static.dim_z, static.dim_x))
+    nonempty = vol.reshape(ny, ry, nz, rz, nx, rx).any(axis=(1, 3, 5))
+    return ny * nz * nx, set(np.flatnonzero(nonempty.reshape(-1)).tolist())
+
+
+def _regions_of_cells(static, cells: np.ndarray) -> np.ndarray:
+    """Region ids (x-major, matching _build_coarse's flat layout) of grid
+    cell ids."""
+    from ..ops.tile_tracer import REGION_CELLS, region_grid
+
+    ry, rz, rx = REGION_CELLS
+    ny, nz, nx = region_grid(static)
+    cy = cells // (static.dim_x * static.dim_z)
+    cz = (cells // static.dim_x) % static.dim_z
+    cx = cells % static.dim_x
+    return ((cx // rx) + nx * ((cz // rz) + nz * (cy // ry))).astype(np.int64)

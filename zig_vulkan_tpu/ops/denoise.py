@@ -15,8 +15,12 @@ slices (pure data movement, no gathers — XLA fuses the whole filter into a
 few vector passes). The general resample path uses vectorized bilinear
 gathers. Knobs match the reference push constants {samples,
 distribution_bias, pixel_multiplier, inverse_hue_tolerance}
-(GraphicsPipeline.zig:27-39), runtime-tunable without retrace except
-`samples` (static loop length, like the GLSL loop bound).
+(GraphicsPipeline.zig:27-39). `samples` is a runtime *push constant* in
+the reference (image.frag:18-23 — an int read in the loop bound), so it
+is runtime-tunable here too: the engine evaluates the spiral at a static
+ceiling (MAX_RUNTIME_SAMPLES, the GUI slider max) and masks taps beyond
+the live value — one select per tap, no retrace when the slider moves.
+Only `pixel_multiplier` stays trace-static (it fixes the slice offsets).
 """
 
 from __future__ import annotations
@@ -110,20 +114,61 @@ def _pow_clamped(a, b):
     return jnp.power(jnp.maximum(a, 0.0), b)
 
 
-@partial(jax.jit, static_argnames=("samples", "pixel_multiplier", "out_shape"))
-def denoise(img, samples: int = 20, distribution_bias=0.6,
+# static tap-count ceiling for the runtime-`samples` path: the reference
+# GUI slider range is 1..32 (ImguiGui.zig:275-306 binds the denoiser
+# knobs; sliders cap at 32)
+MAX_RUNTIME_SAMPLES = 32
+
+
+def denoise(img, samples=20, distribution_bias=0.6,
             pixel_multiplier: float = 1.5, inverse_hue_tolerance=20.0,
-            out_shape=None):
+            out_shape=None, max_samples: int | None = None):
     """sirBirdDenoise (image.frag:31-71) on an f32[H, W, 3] image.
 
     If `out_shape` = (out_h, out_w) differs from the input, the filter
     samples the input exactly like the reference's fragment shader running
     at output resolution over the internal-resolution texture.
 
-    `samples` and `pixel_multiplier` are static (they fix the loop length
-    and the slice offsets); the other knobs are traced scalars tunable
-    without recompilation.
+    `samples` may be a Python int (static loop, exactly samples+1 taps —
+    the cheap path when it never changes) or a traced scalar (the
+    reference's runtime push constant, image.frag:18-23): then the spiral
+    is evaluated at `max_samples`+1 taps (default MAX_RUNTIME_SAMPLES)
+    and taps beyond the live value contribute zero influence — same
+    output, no recompile when the GUI slider moves. `pixel_multiplier`
+    stays static (it fixes the slice offsets).
     """
+    if max_samples is None and isinstance(samples, (int, np.integer)):
+        return _denoise_static(img, int(samples), distribution_bias,
+                               float(pixel_multiplier),
+                               inverse_hue_tolerance, out_shape)
+    return _denoise_runtime(img, samples, distribution_bias,
+                            float(pixel_multiplier), inverse_hue_tolerance,
+                            out_shape,
+                            int(max_samples or MAX_RUNTIME_SAMPLES))
+
+
+@partial(jax.jit,
+         static_argnames=("samples", "pixel_multiplier", "out_shape"))
+def _denoise_static(img, samples, distribution_bias, pixel_multiplier,
+                    inverse_hue_tolerance, out_shape):
+    return _sir_bird(img, samples + 1, F(samples), distribution_bias,
+                     pixel_multiplier, inverse_hue_tolerance, out_shape)
+
+
+@partial(jax.jit,
+         static_argnames=("pixel_multiplier", "out_shape", "max_samples"))
+def _denoise_runtime(img, samples, distribution_bias, pixel_multiplier,
+                     inverse_hue_tolerance, out_shape, max_samples):
+    return _sir_bird(img, max_samples + 1, jnp.asarray(samples, F),
+                     distribution_bias, pixel_multiplier,
+                     inverse_hue_tolerance, out_shape, mask_taps=True)
+
+
+def _sir_bird(img, n_taps: int, samples_f, distribution_bias,
+              pixel_multiplier, inverse_hue_tolerance, out_shape,
+              mask_taps: bool = False):
+    """The filter body: `n_taps` static spiral taps; when `mask_taps`,
+    taps with index > `samples_f` (traced) are zero-influence selects."""
     h, w, _ = img.shape
     out_h, out_w = out_shape if out_shape is not None else (h, w)
     same_res = (out_h, out_w) == (h, w)
@@ -131,7 +176,9 @@ def denoise(img, samples: int = 20, distribution_bias=0.6,
     distribution_bias = F(distribution_bias)
     inverse_hue_tolerance = F(inverse_hue_tolerance)
 
-    sample_radius = F(np.sqrt(np.float32(samples)))
+    # sampleTrueRadius = 0.5/(sqrt(samples))^2 (image.frag:33-34) — keep
+    # the sqrt-then-square rounding for bit parity with the oracle
+    sample_radius = jnp.sqrt(samples_f)
     sample_true_radius = F(0.5) / (sample_radius * sample_radius)
 
     center = img if same_res else bilinear_resample(img, out_h, out_w)
@@ -143,7 +190,8 @@ def denoise(img, samples: int = 20, distribution_bias=0.6,
 
     # offsets in *input texture* uv units ('samplePixel' = 1/inputRes,
     # image.frag:37, :53); scale to input pixels for the shifted sampler
-    for ox, oy in spiral_offsets(samples, pixel_multiplier):
+    for tap_i, (ox, oy) in enumerate(spiral_offsets(n_taps - 1,
+                                                    pixel_multiplier)):
         ox = np.float32(ox)
         oy = np.float32(oy)
         pixel_influence = F(1.0) - sample_true_radius * _pow_clamped(
@@ -178,6 +226,12 @@ def denoise(img, samples: int = 20, distribution_bias=0.6,
             inverse_hue_tolerance)
         sat = _pow_clamped(F(1.0) - jnp.abs(tap_len - center_len), F(8.0))
         influence = influence * hue * sat
+        if mask_taps:
+            # runtime `samples` (the reference push constant): taps past
+            # the live value contribute exactly zero influence — adding
+            # 0.0 preserves the kept-prefix float sums bit-for-bit, so
+            # the output equals the static-loop path at the same value
+            influence = jnp.where(F(tap_i) <= samples_f, influence, F(0.0))
 
         influence_sum = influence_sum + influence
         denoised = denoised + tap * influence

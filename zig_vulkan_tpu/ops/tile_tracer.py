@@ -1307,8 +1307,13 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             dt = t_a - t_b
             advanced = dt > F(0.01) * scale
             tiny = (dt > F(0.0)) & ~advanced & (pend_a >= 0)
-            stall = jnp.where(tiny, stall + 1,
-                              jnp.where(advanced, jnp.int32(0), stall))
+            # reset on ANY non-tiny phase — including dt == 0 (lane not
+            # served): a genuinely stuck lane is the tile's min-t live
+            # lane and is served every phase CONSECUTIVELY, so requiring
+            # 8 consecutive tiny advances keeps detection intact while
+            # preventing unrelated sub-cell advances spread across
+            # parked phases from accumulating to a false give-up
+            stall = jnp.where(tiny, stall + 1, jnp.int32(0))
             give_up = (stall >= 8) & (pend_a >= 0)
             pend_a = jnp.where(give_up, jnp.int32(-3), pend_a)
             st = (pend_a,) + tuple(st[1:])

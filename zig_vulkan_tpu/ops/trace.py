@@ -72,24 +72,26 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 # Incoherent-ray (bounce scatter + bounce shadow) kernel routing knobs,
 # hardware-swept (docs/DESIGN_NOTES.md round 3):
 # - ZVT_BOUNCE_N_SERVE: regions voted+DMA'd per phase for these classes
-#   ("0" = the round-2 default slot count).
+#   ("0" = inherit the kernel default / ZVT_N_SERVE).
 # - ZVT_BOUNCE_CONCURRENT: 1 = march all resident regions in ONE loop
 #   (n_serve shuffle trees per step), 0 = serve them sequentially with
 #   early-exit loops (1 tree per step).
+# - ZVT_DEGRADED_N_SERVE: slot count for the degraded-scene CONCURRENT
+#   serve (engine._scene_degraded; hardware-swept at 8 in round 3).
 # At the (4,16,16) region default the round-3 re-sweep measured n_serve
 # {1,2,4,8} within noise on the diffuse-bounce class (62.7-65.6 ms at
 # 1024x576) but a clean +8 ms for 8 on the scattered-origin shadow
-# class, so the default follows the kernel's 2-slot vote.
-_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "2"))
+# class, so the default (0) inherits the kernel's 2-slot vote.
+_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "0"))
 _BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
+_DEGRADED_N_SERVE = int(_os.environ.get("ZVT_DEGRADED_N_SERVE", "8"))
 
-# Default Pallas-tracer phase budget sentinel: when a caller leaves
-# `tile_max_phases` at this value, _ray_color_soa raises it to the
-# measured-safe floors (256 coherent / 384 dielectric-skip — see the
-# comment in `hit()`). An explicitly passed value is honored verbatim,
-# including tiny budgets used by tests to starve the kernel and force
-# the XLA retrace branch.
-_DEFAULT_TILE_MAX_PHASES = 64
+# Measured-safe default Pallas-tracer phase budgets, applied when a
+# caller leaves `tile_max_phases` at None (256 coherent / 384
+# dielectric-skip — see the comment in `hit()`). An explicitly passed
+# value is honored verbatim, including tiny budgets used by tests to
+# starve the kernel and force the XLA retrace branch.
+_DEFAULT_TILE_MAX_PHASES = None
 
 # Starved-lane tail size served by the COMPACT retrace (one (8,128) ray
 # tile): lanes the Pallas phase budget could not retire are gathered into
@@ -843,7 +845,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # default-workload bounce-shadow class). Chasing them with a
         # larger budget wastes whole-kernel time (104 ms vs 62 ms at
         # 1024x576); the compact retrace below mops them up for ~1 ms.
-        if tile_max_phases == _DEFAULT_TILE_MAX_PHASES:
+        if tile_max_phases is None:
             mp = 256 if ray_key is None else 384
         else:
             mp = tile_max_phases
@@ -858,8 +860,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  image_shape=image_shape,
                                  concurrent=not coherent
                                  and (bounce_concurrent or _BOUNCE_CONCURRENT),
-                                 **({"n_serve": 8} if not coherent
-                                    and bounce_concurrent else
+                                 **({"n_serve": _DEGRADED_N_SERVE}
+                                    if not coherent and bounce_concurrent else
                                     {"n_serve": _BOUNCE_N_SERVE}
                                     if not coherent and _BOUNCE_N_SERVE > 0
                                     else {}))
@@ -1128,7 +1130,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 tables=None, use_skip: bool = False, sample_base=0.0,
                 row_bands: int = 1, region_blocks=None,
                 tile_interpret: bool = False,
-                tile_max_phases: int = _DEFAULT_TILE_MAX_PHASES,
+                tile_max_phases: int | None = _DEFAULT_TILE_MAX_PHASES,
                 bounce_concurrent: bool = False):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
