@@ -211,6 +211,90 @@ def test_concurrent_serve_matches_xla(n_serve):
                                np.asarray(ref["t"])[both], atol=5e-2)
 
 
+def test_bounce_binning_matches_unbinned():
+    """Bounce-ray region binning (ZVT_BIN_BOUNCE / TraceConfig
+    .bin_incoherent) re-sorts the wavefront by (origin region, direction
+    octant) per bounce and unpermutes once at the end. Shading is
+    order-independent (the RNG keys off hit positions), so the binned
+    output must match both the unbinned Pallas path and the XLA
+    wavefront."""
+    grid, mats_t = dielectric_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+
+    ro, rd = _rays(st, (16.0, 25.0, 70.0))
+    args = (st, arrays, mats,
+            jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+            jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+            3,
+            jnp.asarray([0.0, 900.0, 0.0], jnp.float32), True,
+            jnp.asarray([1.0, 1.1, 1.0], jnp.float32), jnp.float32(5.0))
+    ref = trace._ray_color_soa(*args, 768, tables, True)
+    unbinned = trace._ray_color_soa(*args, 768, tables, True,
+                                    region_blocks=blocks, tile_interpret=True,
+                                    bin_incoherent=False)
+    binned = trace._ray_color_soa(*args, 768, tables, True,
+                                  region_blocks=blocks, tile_interpret=True,
+                                  bin_incoherent=True)
+    # binned vs unbinned: identical per-lane math, different tile grouping
+    # (phase-budget/park interleavings can flip isolated grazing lanes)
+    d_bu = np.abs(np.asarray(binned) - np.asarray(unbinned)).max(axis=-1)
+    assert (d_bu > 1e-3).mean() < 0.005, float((d_bu > 1e-3).mean())
+    # and the binned path still matches the XLA oracle end to end
+    d_bx = np.abs(np.asarray(binned) - np.asarray(ref)).max(axis=-1)
+    assert (d_bx > 1e-3).mean() < 0.01, float((d_bx > 1e-3).mean())
+
+
+def test_bin_perm_groups_and_sinks_dead_lanes():
+    """The binning sort key groups lanes by origin region and pushes dead
+    lanes to the wavefront tail (they compact into all-dead tiles that
+    retire in zero phases)."""
+    grid, _ = multi_region_scene()
+    st = grid.static
+    n = 512
+    rng = np.random.default_rng(1)
+    o = rng.uniform(1.0, 31.0, size=(3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    live = rng.random(n) < 0.5
+    perm = np.asarray(trace._bin_perm(
+        st, jnp.asarray(o[0]), jnp.asarray(o[1]), jnp.asarray(o[2]),
+        jnp.asarray(d[0]), jnp.asarray(d[1]), jnp.asarray(d[2]),
+        jnp.asarray(live)))
+    assert sorted(perm.tolist()) == list(range(n))  # a true permutation
+    live_sorted = live[perm]
+    n_live = int(live.sum())
+    assert live_sorted[:n_live].all() and not live_sorted[n_live:].any()
+    # live lanes are grouped by region id (non-decreasing keys)
+    from zig_vulkan_tpu.ops.tile_tracer import REGION_CELLS, region_grid
+    ry, rz, rx = REGION_CELLS
+    ny, nz, nx = region_grid(st)
+    c = np.clip((o / st.scale).astype(np.int32), 0,
+                np.array([st.dim_x - 1, st.dim_y - 1, st.dim_z - 1])[:, None])
+    rid = (c[0] // rx) + nx * ((c[2] // rz) + nz * (c[1] // ry))
+    rid_sorted = rid[perm][:n_live]
+    assert (np.diff(rid_sorted) >= 0).all()
+
+
+def test_permute_rows_roundtrips_ints_exactly():
+    """_permute_rows carries int32 fields bitcast through f32 lanes; the
+    round trip must be bit-exact (incl. values that are f32 NaNs/denormals
+    when bitcast)."""
+    n = 64
+    rng = np.random.default_rng(2)
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    f = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    i1 = jnp.asarray(rng.integers(-2**31, 2**31 - 1, n, dtype=np.int32))
+    i2 = jnp.asarray(np.arange(n, dtype=np.int32))
+    (f_out,), (i1_out, i2_out) = trace._permute_rows(perm, (f,), (i1, i2))
+    np.testing.assert_array_equal(np.asarray(f_out), np.asarray(f)[perm])
+    np.testing.assert_array_equal(np.asarray(i1_out), np.asarray(i1)[perm])
+    np.testing.assert_array_equal(np.asarray(i2_out), np.asarray(i2)[perm])
+
+
 def test_concurrent_bounce_path_matches_sequential():
     """Full path trace with the engine-side routing (bounce classes ->
     concurrent serve) vs the all-sequential round-2 behavior."""
@@ -408,6 +492,126 @@ def test_unfinished_lanes_reported_and_retraced():
                                tile_max_phases=1)
     diff = np.abs(np.asarray(got) - np.asarray(ref)).max(axis=-1)
     assert (diff > 1e-3).mean() < 0.005, float((diff > 1e-3).mean())
+
+
+_STALL_GUARD_SCRIPT = r"""
+import os
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+from zig_vulkan_tpu.config import GridConfig
+from zig_vulkan_tpu.core.grid import BrickGrid
+from zig_vulkan_tpu.core.materials import terrain_materials
+from zig_vulkan_tpu.ops import trace
+from zig_vulkan_tpu.ops import tile_tracer as tl
+
+assert tl._STALL_GUARD, "subprocess must import with ZVT_STALL_GUARD=1"
+ry = tl.REGION_CELLS[0]
+
+# Deterministic reproduction of the round-3 stuck-lane pathology (7 of
+# 590K lanes in the default workload's bounce-shadow class): a ray whose
+# origin sits EXACTLY on a y region-boundary plane with a near-zero dy.
+# grid_init then yields sy == 0, so every serve's first DDA step is the
+# y-step into the neighboring region (park); the next phase's re-derivation
+# computes oy + dy*t which UNDERFLOWS back to the boundary value in f32
+# (|dy*t| << f32 eps at oy), floors into the ORIGINAL region, and parks
+# again. The lane oscillates between the two regions advancing only the
+# 1e-4*scale park epsilon per phase — forever, without the guard.
+grid = BrickGrid(32, 32, 32, GridConfig(min_point=(0.0, 0.0, 0.0), scale=1.0))
+mats_t = terrain_materials()
+grid.attach_materials(mats_t)
+vx, vy, vz = grid.static.voxel_dims
+xs, zs = np.meshgrid(np.arange(vx), np.arange(vz), indexing="ij")
+# full xz sheets placing loaded cells in BOTH y-regions adjacent to the
+# world plane y = ry*scale, so neither side roams (both park): world cell
+# y = (127 - y_in)//4; sheets at y_in 127-4*(ry-2)+... pick cells ry-2 and
+# ry+1 -> world voxel rows 4*(ry-2) and 4*(ry+1).
+for cell_y in (ry - 2, ry + 1):
+    y_in = (vy - 1) - 4 * cell_y  # undo the insert Y-flip
+    grid.insert_batch(xs.ravel(), np.full(xs.size, y_in), zs.ravel(),
+                      np.full(xs.size, 1, dtype=np.uint8))
+st = grid.static
+arrays = grid.device_arrays()
+mats = trace.materials_to_device(mats_t)
+tables = trace.build_trace_tables(st, arrays)
+blocks = tl.build_region_tables(st, arrays, tables)
+
+n = tl.TILE
+ox = np.full(n, 8.0, np.float32)
+oy = np.full(n, float(ry) * 1.0, np.float32)   # exactly on the boundary
+oz = np.full(n, 8.0, np.float32)
+d = np.stack([np.ones(n), np.full(n, -1e-9), np.zeros(n)],
+             axis=-1).astype(np.float32)
+d /= np.linalg.norm(d, axis=-1, keepdims=True)
+active = np.zeros(n, bool)
+active[0] = True   # a single live lane: served every phase by the vote
+
+out = tl.grid_hit_tiles(
+    st, arrays, blocks,
+    jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(oz),
+    jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+    jnp.asarray(active), max_phases=200, interpret=True)
+assert bool(out["unfinished"][0]), "stuck lane must be flagged unfinished"
+assert not bool(out["found"][0])
+
+# the guard must hand the lane over QUICKLY (8 consecutive tiny-advance
+# phases + slack), not burn the 200-phase budget: stats counts phases
+stats = tl.grid_hit_tiles(
+    st, arrays, blocks,
+    jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(oz),
+    jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+    jnp.asarray(active), max_phases=200, interpret=True, stats=True)
+n_phase = int(np.asarray(stats["n_phase"])[0])
+assert n_phase <= 24, f"guard did not fire: {n_phase} phases served"
+
+# no false positives: a normal coherent bundle must retire fully served
+from tests.test_tile_tracer import multi_region_scene, _rays
+grid2, mats2_t = multi_region_scene()
+st2 = grid2.static
+arrays2 = grid2.device_arrays()
+tables2 = trace.build_trace_tables(st2, arrays2)
+blocks2 = tl.build_region_tables(st2, arrays2, tables2)
+ro, rd = _rays(st2, (16.0, 8.0, 40.0))
+m = ro.shape[0]
+got = tl.grid_hit_tiles(
+    st2, arrays2, blocks2,
+    jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+    jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+    jnp.ones(m, bool), max_phases=256, interpret=True)
+assert not np.asarray(got["unfinished"]).any(), "false stall give-up"
+mats2 = trace.materials_to_device(mats2_t)
+ref = trace.grid_hit(st2, arrays2, mats2, jnp.asarray(ro), jnp.asarray(rd),
+                     jnp.float32(np.inf), jnp.full(m, 3, jnp.int32),
+                     jnp.ones(m, jnp.float32), jnp.ones(m, bool),
+                     use_skip=True, needs_ignore=False, tables=tables2)
+agree = (np.asarray(ref["found"]) == np.asarray(got["found"])).mean()
+assert agree > 0.99, agree
+print("STALL_GUARD_OK", n_phase)
+"""
+
+
+def test_stall_guard_hands_stuck_lane_to_retrace():
+    """ZVT_STALL_GUARD=1 must flag the boundary-plane stuck-lane pathology
+    as unfinished within ~8 phases (not burn the whole budget) and must
+    never fire on healthy bundles (round-3 verdict item: the guard had no
+    test coverage). Subprocess: _STALL_GUARD is read at import."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["ZVT_STALL_GUARD"] = "1"
+    env["ZVT_TILE_SUBLANES"] = "8"
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-c", _STALL_GUARD_SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=2400)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+    assert "STALL_GUARD_OK" in res.stdout, res.stdout
 
 
 def test_concurrent_serve_corner_region_no_livelock():

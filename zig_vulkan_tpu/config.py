@@ -98,6 +98,13 @@ class TraceConfig:
     # sequential row bands per trace (lax.map): fast bands stop paying for
     # slow ones; ~1.6x at 1080p. Used when the band height divides evenly.
     row_bands: int = 8
+    # bin incoherent ray classes (diffuse bounces + their shadows) by
+    # (origin region, direction octant) before tiling, so the Pallas
+    # tracer's region vote serves whole tiles instead of one straggler's
+    # region per phase; dead lanes compact into tiles that retire in zero
+    # phases. None = the ZVT_BIN_BOUNCE env default (on). Only affects the
+    # Pallas path.
+    bin_incoherent: Optional[bool] = None
     # the scene counts as "degraded" (empty-space roaming collapsed;
     # incoherent ray classes switch to the concurrent multi-region serve)
     # when more than this fraction of regions is non-empty. Measured:

@@ -129,7 +129,8 @@ class VoxelRT:
         """Trace+(accumulate)+postprocess jitted for one static config."""
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_pixel_multiplier, max_steps,
-         empty_skip, temporal, row_bands, use_pallas, degraded) = key
+         empty_skip, temporal, row_bands, use_pallas, degraded,
+         bin_incoherent) = key
         static = self.grid_static
 
         def body(arrays, tables, region_blocks, mats, pc, accum):
@@ -148,7 +149,8 @@ class VoxelRT:
                 sample_base=pc[21], row_bands=row_bands,
                 region_blocks=region_blocks,
                 tile_interpret=jax.default_backend() == "cpu",
-                bounce_concurrent=degraded)
+                bounce_concurrent=degraded,
+                bin_incoherent=bin_incoherent)
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (pc[22] + F(1.0))
@@ -226,7 +228,8 @@ class VoxelRT:
                 # internally, so force one band on the Pallas path.
                 1 if self._use_pallas() else int(self.trace_config.row_bands),
                 self._use_pallas(),
-                self._scene_degraded())
+                self._scene_degraded(),
+                self.trace_config.bin_incoherent)
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""

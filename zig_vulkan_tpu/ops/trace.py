@@ -86,6 +86,20 @@ _BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "0"))
 _BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
 _DEGRADED_N_SERVE = int(_os.environ.get("ZVT_DEGRADED_N_SERVE", "8"))
 
+# ZVT_BIN_BOUNCE: bin incoherent ray classes (diffuse bounces + their
+# shadows) by (origin region, direction octant) before tiling — a sorted
+# wavefront gives every ray tile ONE dominant pending region, so the
+# region vote serves (nearly) the whole tile each phase instead of the
+# measured one-region-per-phase starvation that made these classes ~85%
+# of the default frame (docs/PROFILE.md). Dead lanes sort to the end and
+# compact into all-dead tiles that retire in zero phases (the later
+# bounces' active fraction shrinks every bounce). The permutation costs
+# one argsort + one packed row-gather per bounce and one row-scatter per
+# frame — NOT per-field elementwise gathers, which would eat the win
+# (BASELINE.md: XLA gathers run ~0.1 G elems/s; row gathers charge per
+# ROW).
+_BIN_BOUNCE = _os.environ.get("ZVT_BIN_BOUNCE", "1") == "1"
+
 # Measured-safe default Pallas-tracer phase budgets, applied when a
 # caller leaves `tile_max_phases` at None (256 coherent / 384
 # dielectric-skip — see the comment in `hit()`). An explicitly passed
@@ -757,6 +771,46 @@ def _rand_vec3_range_soa(cox, coy, lo, hi):
     return x, y, z
 
 
+def _bin_perm(static: GridStatic, ox, oy, oz, dx, dy, dz, live):
+    """Sort permutation for an incoherent ray class.
+
+    Key = (region of the ray origin, direction octant): lanes that start
+    in the same region marching the same direction family share (most of)
+    their region sequence, so a tile of them votes coherently. Dead lanes
+    get a max key and sink to the end. Returns perm with
+    state_sorted = state[perm]."""
+    from .tile_tracer import REGION_CELLS, region_grid
+
+    ry, rz, rx = REGION_CELLS
+    ny, nz, nx = region_grid(static)
+    inv_scale = F(1.0 / static.scale)
+    cx = jnp.clip(((ox - F(static.min_point[0])) * inv_scale).astype(jnp.int32),
+                  0, static.dim_x - 1)
+    cy = jnp.clip(((oy - F(static.min_point[1])) * inv_scale).astype(jnp.int32),
+                  0, static.dim_y - 1)
+    cz = jnp.clip(((oz - F(static.min_point[2])) * inv_scale).astype(jnp.int32),
+                  0, static.dim_z - 1)
+    rid = (cx // rx) + nx * ((cz // rz) + nz * (cy // ry))
+    octant = ((dx < 0).astype(jnp.int32) + 2 * (dy < 0).astype(jnp.int32)
+              + 4 * (dz < 0).astype(jnp.int32))
+    key = jnp.where(live, rid * 8 + octant, jnp.int32(1) << 30)
+    return jnp.argsort(key)
+
+
+def _permute_rows(perm, f32_fields, i32_fields):
+    """Apply a lane permutation to a whole SoA state with ONE row gather:
+    int fields ride bitcast-as-f32 lanes of the same packed matrix
+    (int32<->f32 bitcast round-trips exactly)."""
+    cols = list(f32_fields) + [
+        jax.lax.bitcast_convert_type(v, F) for v in i32_fields]
+    packed = jnp.stack(cols, axis=-1)[perm]
+    k = len(f32_fields)
+    outs_f = tuple(packed[:, i] for i in range(k))
+    outs_i = tuple(jax.lax.bitcast_convert_type(packed[:, k + i], jnp.int32)
+                   for i in range(len(i32_fields)))
+    return outs_f, outs_i
+
+
 def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
               origin, direction, max_bounce: int,
               sun_position, sun_enabled: bool, sun_color, sun_radius,
@@ -778,10 +832,16 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    max_steps, tables=None, use_skip=False,
                    region_blocks=None, tile_interpret=False,
                    tile_max_phases=_DEFAULT_TILE_MAX_PHASES,
-                   image_shape=None, bounce_concurrent=False):
+                   image_shape=None, bounce_concurrent=False,
+                   bin_incoherent: bool | None = None):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
+    if bin_incoherent is None:
+        bin_incoherent = _BIN_BOUNCE
+    # binning only exists to serve the Pallas region tracer's vote; the
+    # XLA wavefront path is order-independent
+    bin_on = bin_incoherent and region_blocks is not None and max_bounce > 1
 
     _HIT_KEYS = ("found", "t", "px", "py", "pz", "nx", "ny", "nz", "index")
 
@@ -810,7 +870,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                              needs_ignore=needs)
 
     def hit(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None,
-            coherent=True):
+            coherent=True, binned=False):
         """Traversal for any ray class: the Pallas region tracer when
         enabled (all ray classes in-kernel since round 2), with an XLA
         wavefront re-trace of any lanes the kernel's phase budget could
@@ -849,6 +909,11 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             mp = 256 if ray_key is None else 384
         else:
             mp = tile_max_phases
+        # a BINNED wavefront is sorted by (origin region, octant): its
+        # tiles vote coherently like primary bundles, so they take the
+        # cheap sequential serve (1 shuffle tree per step) instead of the
+        # concurrent multi-region machinery built for unsorted scatter
+        incoh = not coherent and not binned
         with jax.named_scope("traverse_tiles"
                              if ray_key is None else "traverse_tiles_ignore"):
             out = grid_hit_tiles(static, arrays, region_blocks,
@@ -857,13 +922,13 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  needs_ignore=ray_key is not None,
                                  max_phases=mp,
                                  interpret=tile_interpret,
-                                 image_shape=image_shape,
-                                 concurrent=not coherent
+                                 image_shape=None if binned else image_shape,
+                                 concurrent=incoh
                                  and (bounce_concurrent or _BOUNCE_CONCURRENT),
                                  **({"n_serve": _DEGRADED_N_SERVE}
-                                    if not coherent and bounce_concurrent else
+                                    if incoh and bounce_concurrent else
                                     {"n_serve": _BOUNCE_N_SERVE}
-                                    if not coherent and _BOUNCE_N_SERVE > 0
+                                    if incoh and _BOUNCE_N_SERVE > 0
                                     else {}))
         unfinished = out.pop("unfinished") & mask
 
@@ -902,8 +967,10 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                             tuple(out[k] for k in _HIT_KEYS))
         return dict(zip(_HIT_KEYS, vals))
 
-    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=True):
-        return hit(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=coherent)
+    def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=True,
+                        binned=False):
+        return hit(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=coherent,
+                   binned=binned)
     dx, dy, dz = _norm3(dx, dy, dz)
     cr = jnp.zeros(n, dtype=F)
     cg = jnp.zeros(n, dtype=F)
@@ -920,19 +987,39 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     # original direction for the background of never-hit rays
     odx, ody, odz = dx, dy, dz
 
+    # lane order bookkeeping for bounce binning: the wavefront is re-sorted
+    # at every bounce >= 1 (see _bin_perm); perm_total composes the sorts so
+    # ONE row-scatter restores pixel order at the end. Every per-lane value
+    # below is order-independent (the RNG keys off hit positions, shading is
+    # elementwise), so only the final color needs unpermuting.
+    perm_total = jnp.arange(n, dtype=jnp.int32) if bin_on else None
+
     for bounce_i in range(max_bounce):
         # dielectric-skip state can only exist after a refraction, so the
         # first bounce (and all shadow rays) take the ignore-free fast path
         if bounce_i == 0:
             h = hit_ignore_free(ox, oy, oz, dx, dy, dz, bouncing)
         else:
+            if bin_on:
+                with jax.named_scope("bin_sort"):
+                    perm = _bin_perm(static, ox, oy, oz, dx, dy, dz, bouncing)
+                    f32s, i32s = _permute_rows(
+                        perm,
+                        (ox, oy, oz, dx, dy, dz, cr, cg, cb, internal_refl,
+                         odx, ody, odz),
+                        (ignore_type, loop_count,
+                         bouncing.astype(jnp.int32), perm_total))
+                    (ox, oy, oz, dx, dy, dz, cr, cg, cb, internal_refl,
+                     odx, ody, odz) = f32s
+                    ignore_type, loop_count, b_i, perm_total = i32s
+                    bouncing = b_i != 0
             # per-ray dielectric skip key: the rule only triggers for
             # refracted rays; NaN never compares equal, so other rays
             # skip nothing (brick_raytracer.comp:427)
             bounce_key = jnp.where(ignore_type == MAT_DIELECTRIC,
                                    internal_refl, jnp.full(n, jnp.nan, F))
             h = hit(ox, oy, oz, dx, dy, dz, bouncing, ray_key=bounce_key,
-                    coherent=False)
+                    coherent=False, binned=bin_on)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -1030,9 +1117,12 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             with jax.named_scope("sun_shadow"):
                 # bounce-0 shadows leave a coherent surface patch toward
                 # the sun; later bounces' shadow origins are scattered by
-                # the preceding random scatter -> concurrent serve
+                # the preceding random scatter -> concurrent serve, unless
+                # the wavefront is already region-sorted (binned) — then
+                # the shadow class rides the same order for free
                 sh = hit_ignore_free(px, py, pz, shx, shy, shz, active,
-                                     coherent=bounce_i == 0)
+                                     coherent=bounce_i == 0,
+                                     binned=bin_on and bounce_i > 0)
             lit = sun_or_diffuse & ~sh["found"]
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
@@ -1065,8 +1155,13 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     cg = cg + jnp.where(never, bgg, F(0.0))
     cb = cb + jnp.where(never, bgb, F(0.0))
 
-    return jnp.stack([cr / (cr + F(1.0)), cg / (cg + F(1.0)),
-                      cb / (cb + F(1.0))], axis=-1)
+    color = jnp.stack([cr / (cr + F(1.0)), cg / (cg + F(1.0)),
+                       cb / (cb + F(1.0))], axis=-1)
+    if bin_on:
+        # restore pixel order: one row-scatter for the whole frame
+        with jax.named_scope("bin_unsort"):
+            color = jnp.zeros_like(color).at[perm_total].set(color)
+    return color
 
 
 def camera_vectors(camera_device) -> dict:
@@ -1131,7 +1226,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 row_bands: int = 1, region_blocks=None,
                 tile_interpret: bool = False,
                 tile_max_phases: int | None = _DEFAULT_TILE_MAX_PHASES,
-                bounce_concurrent: bool = False):
+                bounce_concurrent: bool = False,
+                bin_incoherent: bool | None = None):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -1160,7 +1256,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
                 max_steps, tables, use_skip, region_blocks, tile_interpret,
                 tile_max_phases, image_shape=(band_rows, w),
-                bounce_concurrent=bounce_concurrent)
+                bounce_concurrent=bounce_concurrent,
+                bin_incoherent=bin_incoherent)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 
