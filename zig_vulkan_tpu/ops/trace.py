@@ -97,8 +97,12 @@ _DEGRADED_N_SERVE = int(_os.environ.get("ZVT_DEGRADED_N_SERVE", "8"))
 # one argsort + one packed row-gather per bounce and one row-scatter per
 # frame — NOT per-field elementwise gathers, which would eat the win
 # (BASELINE.md: XLA gathers run ~0.1 G elems/s; row gathers charge per
-# ROW).
-_BIN_BOUNCE = _os.environ.get("ZVT_BIN_BOUNCE", "1") == "1"
+# ROW). Hardware A/B (round 4, default workload): the sort+permute costs
+# +62 ms/frame on the default ROAMABLE scene with no offsetting gain, so
+# the env default is OFF; the engine auto-enables it for degraded scenes
+# (engine._build_step), where parked phases dominate and coherent votes
+# are the lever.
+_BIN_BOUNCE = _os.environ.get("ZVT_BIN_BOUNCE", "0") == "1"
 
 # Measured-safe default Pallas-tracer phase budgets, applied when a
 # caller leaves `tile_max_phases` at None (256 coherent / 384
@@ -833,7 +837,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    region_blocks=None, tile_interpret=False,
                    tile_max_phases=_DEFAULT_TILE_MAX_PHASES,
                    image_shape=None, bounce_concurrent=False,
-                   bin_incoherent: bool | None = None):
+                   bin_incoherent: bool | None = None,
+                   sparse_roam: bool = False):
     n = ox.shape[0]
     if tables is None:
         tables = build_trace_tables(static, arrays)
@@ -923,6 +928,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  max_phases=mp,
                                  interpret=tile_interpret,
                                  image_shape=None if binned else image_shape,
+                                 sparse_roam=sparse_roam,
                                  concurrent=incoh
                                  and (bounce_concurrent or _BOUNCE_CONCURRENT),
                                  **({"n_serve": _DEGRADED_N_SERVE}
@@ -1227,7 +1233,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 tile_interpret: bool = False,
                 tile_max_phases: int | None = _DEFAULT_TILE_MAX_PHASES,
                 bounce_concurrent: bool = False,
-                bin_incoherent: bool | None = None):
+                bin_incoherent: bool | None = None,
+                sparse_roam: bool = False):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -1257,7 +1264,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 max_steps, tables, use_skip, region_blocks, tile_interpret,
                 tile_max_phases, image_shape=(band_rows, w),
                 bounce_concurrent=bounce_concurrent,
-                bin_incoherent=bin_incoherent)
+                bin_incoherent=bin_incoherent,
+                sparse_roam=sparse_roam)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 
