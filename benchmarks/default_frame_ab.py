@@ -1,0 +1,65 @@
+"""Default-workload full-frame A/B of the incoherent-class serve policy.
+
+Times one jitted engine step (the reference default workload:
+1024x576 internal, 2 spp, 2 user bounces, sun shadows, denoiser —
+/root/reference/src/main.zig:122-135) on the DEFAULT (roamable) scene under
+a serve-policy knob combo:
+
+    python benchmarks/default_frame_ab.py <concurrent 0|1> <bin 0|1> [frames]
+
+Honest chained timing (one host sync at the end). Prints one JSON line.
+Run each combo in its own process to keep compile caches honest.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zvt_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    concurrent = (_sys.argv[1] == "1") if len(_sys.argv) > 1 else False
+    bin_inc = (_sys.argv[2] == "1") if len(_sys.argv) > 2 else False
+    frames = int(_sys.argv[3]) if len(_sys.argv) > 3 else 6
+
+    from zig_vulkan_tpu.config import (CameraConfig, DenoiserConfig,
+                                       EngineConfig, SunConfig, TraceConfig)
+    from zig_vulkan_tpu.engine.engine import VoxelRT
+    from zig_vulkan_tpu.models.scenes import cached_default_scene
+
+    sc = cached_default_scene(_os.path.join(_REPO, ".bench_scene_cache.npz"))
+    rt = VoxelRT(sc.grid, sc.materials, EngineConfig(
+        internal_resolution_width=1024, internal_resolution_height=576,
+        camera=CameraConfig(origin=(0.0, 0.0, 0.0), samples_per_pixel=2,
+                            max_bounce=2),
+        sun=SunConfig(enabled=True, animate=False),
+        denoiser=DenoiserConfig(enabled=True),
+        trace=TraceConfig(bounce_concurrent=concurrent,
+                          bin_incoherent=bin_inc)))
+    img = rt.render()  # compile + tables
+    np.asarray(img)
+    t0 = time.time()
+    for _ in range(frames):
+        img = rt.render()
+    np.asarray(img)
+    dt = (time.time() - t0) / frames
+    print(json.dumps({
+        "workload": "default 1024x576 2spp 2+1bounce sun denoiser",
+        "bounce_concurrent": concurrent, "bin_incoherent": bin_inc,
+        "ms_per_frame": round(dt * 1e3, 1), "fps": round(1.0 / dt, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

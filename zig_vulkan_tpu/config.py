@@ -105,6 +105,12 @@ class TraceConfig:
     # phases. None = the ZVT_BIN_BOUNCE env default (on). Only affects the
     # Pallas path.
     bin_incoherent: Optional[bool] = None
+    # concurrent multi-region serve for the incoherent classes (diffuse
+    # bounces + their shadows): march ALL resident region slots in one
+    # loop instead of one voted region per phase. None = auto (enabled
+    # when the scene is degraded); True/False force it either way —
+    # used by benchmarks/bounce_sweep.py hardware A/Bs.
+    bounce_concurrent: Optional[bool] = None
     # the scene counts as "degraded" (empty-space roaming collapsed;
     # incoherent ray classes switch to the concurrent multi-region serve)
     # when more than this fraction of regions is non-empty. Measured:

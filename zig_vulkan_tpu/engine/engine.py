@@ -130,7 +130,7 @@ class VoxelRT:
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_pixel_multiplier, max_steps,
          empty_skip, temporal, row_bands, use_pallas, degraded,
-         bin_incoherent) = key
+         bin_incoherent, bounce_concurrent) = key
         static = self.grid_static
 
         def body(arrays, tables, region_blocks, mats, pc, accum):
@@ -149,7 +149,7 @@ class VoxelRT:
                 sample_base=pc[21], row_bands=row_bands,
                 region_blocks=region_blocks,
                 tile_interpret=jax.default_backend() == "cpu",
-                bounce_concurrent=degraded,
+                bounce_concurrent=bounce_concurrent,
                 # binning auto-policy: hardware A/B on the default scene
                 # measured the per-bounce argsort+permute at +62 ms/frame
                 # with NO gain (roaming + the region vote already serve a
@@ -239,7 +239,12 @@ class VoxelRT:
                 1 if self._use_pallas() else int(self.trace_config.row_bands),
                 self._use_pallas(),
                 self._scene_degraded(),
-                self.trace_config.bin_incoherent)
+                self.trace_config.bin_incoherent,
+                # None = auto: concurrent multi-region serve for the
+                # incoherent classes only once roaming has collapsed
+                (self._scene_degraded()
+                 if self.trace_config.bounce_concurrent is None
+                 else bool(self.trace_config.bounce_concurrent)))
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""
