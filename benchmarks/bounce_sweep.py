@@ -38,8 +38,13 @@ import numpy as np
 
 def main() -> None:
     n_serve = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    concurrent = (sys.argv[2] == "1") if len(sys.argv) > 2 else False
+    # mode: "0" sequential serve, "1" concurrent serve, "x" = the XLA
+    # wavefront (no Pallas) on the same class
+    mode = sys.argv[2] if len(sys.argv) > 2 else "0"
+    concurrent = mode == "1"
+    xla_wavefront = mode == "x"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    max_phases = int(sys.argv[4]) if len(sys.argv) > 4 else 256
 
     import jax
     import jax.numpy as jnp
@@ -87,17 +92,33 @@ def main() -> None:
         make_bounce_rays(cv))
     n_act = int(np.asarray(act).sum())
 
+    mats = tt.materials_to_device(sc.materials)
+    m = bx.shape[0]
+
     @jax.jit
     def bounce_trace(acc, bx):
         bx = bx + acc * jnp.float32(0.0)  # chain the dispatch
-        h = tl.grid_hit_tiles(static, arrays, blocks, bx, by, bz,
-                              bdx, bdy, bdz, act,
-                              max_phases=256,
-                              concurrent=concurrent, n_serve=n_serve,
-                              image_shape=(height, width))
+        if xla_wavefront:
+            # the round-1 XLA wavefront on the SAME class: per-step
+            # gathers charge every lane, but there is no region-serve
+            # phase structure to defeat — the A/B that decides which
+            # engine routes incoherent classes
+            h = tt._grid_hit_soa(
+                static, arrays, mats, bx, by, bz, bdx, bdy, bdz,
+                jnp.float32(jnp.inf),
+                jnp.full(m, tt.MAT_NONE, dtype=jnp.int32),
+                jnp.ones(m, jnp.float32), act, 768, tables, True,
+                bounded_t=False, needs_ignore=False)
+            unf = jnp.int32(0)
+        else:
+            h = tl.grid_hit_tiles(static, arrays, blocks, bx, by, bz,
+                                  bdx, bdy, bdz, act,
+                                  max_phases=max_phases,
+                                  concurrent=concurrent, n_serve=n_serve,
+                                  image_shape=(height, width))
+            unf = jnp.sum((h["unfinished"] & act).astype(jnp.int32))
         acc = (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
                + jnp.float32(1.0))
-        unf = jnp.sum((h["unfinished"] & act).astype(jnp.int32))
         return acc, unf
 
     t0 = time.time()
@@ -116,7 +137,7 @@ def main() -> None:
     ms = elapsed / reps * 1e3
     print(json.dumps({
         "class": "diffuse_bounce_1024x576",
-        "n_serve": n_serve, "concurrent": concurrent,
+        "n_serve": n_serve, "mode": mode,
         "active_lanes": n_act, "reps": reps,
         "ms": round(ms, 2), "unfinished": unfinished,
         "checksum": round(checksum, 4)}))

@@ -29,7 +29,9 @@ import numpy as np
 
 
 def main() -> None:
-    concurrent = (_sys.argv[1] == "1") if len(_sys.argv) > 1 else False
+    # concurrent: "a" = auto (TraceConfig None), "1" force on, "0" force off
+    carg = _sys.argv[1] if len(_sys.argv) > 1 else "a"
+    concurrent = None if carg == "a" else carg == "1"
     bin_inc = (_sys.argv[2] == "1") if len(_sys.argv) > 2 else False
     frames = int(_sys.argv[3]) if len(_sys.argv) > 3 else 6
 

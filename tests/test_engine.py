@@ -15,6 +15,7 @@ from zig_vulkan_tpu.models.scenes import flat_test_scene
 
 def small_engine(**overrides):
     sc = flat_test_scene(dim=8)
+    overrides.setdefault("trace", TraceConfig(max_steps=256))
     cfg = EngineConfig(
         internal_resolution_width=32,
         internal_resolution_height=24,
@@ -22,7 +23,6 @@ def small_engine(**overrides):
                             max_bounce=0),
         sun=SunConfig(enabled=False),
         denoiser=DenoiserConfig(enabled=False),
-        trace=TraceConfig(max_steps=256),
         **overrides,
     )
     return VoxelRT(sc.grid, sc.materials, cfg)
@@ -275,6 +275,25 @@ def test_scene_loaded_degraded_detected_at_init():
         trace=TraceConfig(max_steps=256))
     rt = VoxelRT(sc.grid, sc.materials, cfg)
     assert rt._scene_degraded()
+
+
+def test_bounce_concurrent_override():
+    """TraceConfig.bounce_concurrent forces the incoherent-class serve
+    policy either way (None = auto-by-roamability); the override is part
+    of the step key and the forced-on/off steps render finitely."""
+    rt_auto = small_engine()
+    rt_on = small_engine(trace=TraceConfig(max_steps=256,
+                                           bounce_concurrent=True))
+    rt_off = small_engine(trace=TraceConfig(max_steps=256,
+                                            bounce_concurrent=False))
+    # auto resolves to ON (round 4: concurrent is the incoherent-class
+    # default on every scene); forced-off differs
+    assert rt_auto._step_key() == rt_on._step_key()
+    assert rt_on._step_key() != rt_off._step_key()
+    for rt in (rt_on, rt_off):
+        img = np.asarray(rt.render())
+        assert img.shape == (24, 32, 3)
+        assert np.isfinite(img).all()
 
 
 def test_denoiser_samples_runtime_no_retrace():

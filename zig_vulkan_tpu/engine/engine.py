@@ -241,9 +241,13 @@ class VoxelRT:
                 self._scene_degraded(),
                 self.trace_config.bin_incoherent,
                 # None = auto: concurrent multi-region serve for the
-                # incoherent classes only once roaming has collapsed
-                (self._scene_degraded()
-                 if self.trace_config.bounce_concurrent is None
+                # incoherent classes on EVERY scene (round-4 hardware
+                # class sweep: sequential 61.2 ms vs concurrent-4 45.1 ms
+                # on the roamable default scene's first diffuse bounce);
+                # the slot count still adapts to roamability inside
+                # ops.trace.hit (4 roamable / 8 degraded). False forces
+                # the sequential serve (A/B escape hatch).
+                (True if self.trace_config.bounce_concurrent is None
                  else bool(self.trace_config.bounce_concurrent)))
 
     def render(self):

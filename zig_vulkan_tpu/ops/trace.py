@@ -82,9 +82,15 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 # {1,2,4,8} within noise on the diffuse-bounce class (62.7-65.6 ms at
 # 1024x576) but a clean +8 ms for 8 on the scattered-origin shadow
 # class, so the default (0) inherits the kernel's 2-slot vote.
+# - ZVT_INCOH_N_SERVE: slot count for the CONCURRENT serve of incoherent
+#   classes on ROAMABLE scenes — concurrent became their default in
+#   round 4 after a hardware class sweep (benchmarks/bounce_sweep.py,
+#   first diffuse bounce at 1024x576): sequential 61.2 ms vs concurrent
+#   45.1/45.6/59.6 ms at 4/8/16 slots.
 _BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "0"))
 _BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
 _DEGRADED_N_SERVE = int(_os.environ.get("ZVT_DEGRADED_N_SERVE", "8"))
+_INCOH_N_SERVE = int(_os.environ.get("ZVT_INCOH_N_SERVE", "4"))
 
 # ZVT_BIN_BOUNCE: bin incoherent ray classes (diffuse bounces + their
 # shadows) by (origin region, direction octant) before tiling — a sorted
@@ -929,9 +935,15 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  interpret=tile_interpret,
                                  image_shape=None if binned else image_shape,
                                  sparse_roam=sparse_roam,
+                                 # round 4: CONCURRENT is the incoherent
+                                 # classes' default on every scene (class
+                                 # sweep: 61.2 -> 45.1 ms); bounce_concurrent
+                                 # = False forces the old sequential serve
+                                 # (A/B escape hatch, TraceConfig)
                                  concurrent=incoh
                                  and (bounce_concurrent or _BOUNCE_CONCURRENT),
-                                 **({"n_serve": _DEGRADED_N_SERVE}
+                                 **({"n_serve": _DEGRADED_N_SERVE if sparse_roam
+                                     else _INCOH_N_SERVE}
                                     if incoh and bounce_concurrent else
                                     {"n_serve": _BOUNCE_N_SERVE}
                                     if incoh and _BOUNCE_N_SERVE > 0
@@ -1252,20 +1264,51 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
         tables = build_trace_tables(static, arrays)
 
     def render_band(band_row0, band_rows):
-        color = jnp.zeros((band_rows * w, 3), dtype=F)
-        for s in range(spp):
-            oxs, oys, ozs, rdx, rdy, rdz = _camera_rays_soa(
-                cam, w, h, jnp.asarray(sample_base, dtype=F) + F(s),
-                row0=band_row0, rows=band_rows)
-            color = color + _ray_color_soa(
-                static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz, max_bounce,
+        # spp MERGE (round 4): on the Pallas path all samples ride ONE
+        # bounce state machine — the per-sample wavefronts are
+        # concatenated (image_shape grows to spp stacked images, so
+        # pixel-block tiling still sees coherent primary bundles) and the
+        # per-traversal fixed costs (region vote warmup, first DMAs,
+        # kernel launch, the XLA glue fusions between classes) amortize
+        # over spp. Per-lane results are bit-identical to the loop: the
+        # RNG keys off hit positions and the per-sample jitter seed, not
+        # wavefront position. The XLA wavefront path keeps the loop —
+        # its while-loop length is the max over lanes, and merging can
+        # only lengthen it.
+        samples = [_camera_rays_soa(
+            cam, w, h, jnp.asarray(sample_base, dtype=F) + F(s),
+            row0=band_row0, rows=band_rows) for s in range(spp)]
+        if spp > 1 and region_blocks is not None:
+            oxs, oys, ozs, rdx, rdy, rdz = (
+                jnp.concatenate([sm[i] for sm in samples])
+                for i in range(6))
+            color = _ray_color_soa(
+                static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz,
+                max_bounce,
                 jnp.asarray(sun_position, dtype=F), sun_enabled,
-                jnp.asarray(sun_color, dtype=F), jnp.asarray(sun_radius, dtype=F),
+                jnp.asarray(sun_color, dtype=F),
+                jnp.asarray(sun_radius, dtype=F),
                 max_steps, tables, use_skip, region_blocks, tile_interpret,
-                tile_max_phases, image_shape=(band_rows, w),
+                tile_max_phases, image_shape=(band_rows * spp, w),
                 bounce_concurrent=bounce_concurrent,
                 bin_incoherent=bin_incoherent,
-                sparse_roam=sparse_roam)
+                sparse_roam=sparse_roam,
+            ).reshape(spp, band_rows * w, 3).sum(axis=0)
+        else:
+            color = jnp.zeros((band_rows * w, 3), dtype=F)
+            for oxs, oys, ozs, rdx, rdy, rdz in samples:
+                color = color + _ray_color_soa(
+                    static, arrays, mats, oxs, oys, ozs, rdx, rdy, rdz,
+                    max_bounce,
+                    jnp.asarray(sun_position, dtype=F), sun_enabled,
+                    jnp.asarray(sun_color, dtype=F),
+                    jnp.asarray(sun_radius, dtype=F),
+                    max_steps, tables, use_skip, region_blocks,
+                    tile_interpret, tile_max_phases,
+                    image_shape=(band_rows, w),
+                    bounce_concurrent=bounce_concurrent,
+                    bin_incoherent=bin_incoherent,
+                    sparse_roam=sparse_roam)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 
