@@ -6,7 +6,10 @@ tile's region vote (one non-empty region served per phase). This harness
 measures EXACTLY that traversal — the first diffuse bounce of the default
 workload at 1024x576 — under the kernel's routing knobs:
 
-    python benchmarks/bounce_sweep.py <n_serve> <concurrent 0|1> [reps]
+    python benchmarks/bounce_sweep.py <n_serve> <mode 0|1|x> [reps] [max_phases]
+
+mode: "0" = sequential serve, "1" = concurrent serve, "x" = the XLA
+wavefront (no Pallas) on the same class.
 
 It synthesizes the real bounce wavefront (trace primaries on the cached
 default scene, scatter at the hits with the engine's RNG), then times

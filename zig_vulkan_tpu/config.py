@@ -107,9 +107,12 @@ class TraceConfig:
     bin_incoherent: Optional[bool] = None
     # concurrent multi-region serve for the incoherent classes (diffuse
     # bounces + their shadows): march ALL resident region slots in one
-    # loop instead of one voted region per phase. None = auto (enabled
-    # when the scene is degraded); True/False force it either way —
-    # used by benchmarks/bounce_sweep.py hardware A/Bs.
+    # loop instead of one voted region per phase. None = auto: concurrent
+    # on EVERY scene since round 4 (hardware class sweep: sequential
+    # 61.2 ms vs concurrent-4 45.1 ms on the roamable default scene);
+    # the slot count still adapts to roamability (4 roamable /
+    # 8 degraded). False forces the sequential serve — used by
+    # benchmarks/bounce_sweep.py hardware A/Bs.
     bounce_concurrent: Optional[bool] = None
     # the scene counts as "degraded" (empty-space roaming collapsed;
     # incoherent ray classes switch to the concurrent multi-region serve)

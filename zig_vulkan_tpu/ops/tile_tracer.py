@@ -1570,6 +1570,23 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
     blocked = (image_shape is not None
                and image_shape[0] * image_shape[1] == n
                and block_permutation(image_shape[0], image_shape[1]))
+    if image_shape is not None and not blocked:
+        # Strip-tiling demotion is a measured ~3-4x slowdown (a 1-pixel-
+        # tall TILE-wide strip spans ~40 deg of ray directions at 75 deg
+        # fov; the tile's phase count is set by its most divergent lane).
+        # Say so instead of silently tracing slow — fires once per jit
+        # trace, not per frame.
+        import warnings
+
+        warnings.warn(
+            f"tile tracer: image_shape={tuple(image_shape)} cannot be "
+            f"re-tiled into {TILE_SUBLANES}x{TILE_LANES} pixel blocks "
+            f"(rows % {TILE_SUBLANES} != 0 or width % {TILE_LANES} != 0"
+            f"{'' if image_shape[0] * image_shape[1] == n else ', or rows*width != lane count'}); "
+            f"falling back to 1-pixel-tall strip tiles (~3-4x slower). "
+            f"Fast heights are multiples of {TILE_SUBLANES} "
+            f"(e.g. 576, 720, 1080); widths multiples of {TILE_LANES}.",
+            stacklevel=2)
     if blocked:
         rows_i, width_i = int(image_shape[0]), int(image_shape[1])
 

@@ -60,7 +60,8 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
                        denoiser: DenoiserConfig = DenoiserConfig(),
                        trace_config: TraceConfig = TraceConfig(),
                        use_pallas: bool = False,
-                       tile_interpret: Optional[bool] = None):
+                       tile_interpret: Optional[bool] = None,
+                       degraded: bool = False):
     """Build a jitted multi-chip render step.
 
     Returns step(arrays, mats, cam, sun_position, sun_color, sun_radius)
@@ -70,7 +71,13 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
     production Pallas region tracer (pass cached `region_blocks` into the
     returned step); `tile_interpret` forces/disables Pallas interpret mode
     (None = auto: interpret on the CPU backend, compiled on TPU — this is
-    how the multi-chip sharding is validated on a virtual CPU mesh)."""
+    how the multi-chip sharding is validated on a virtual CPU mesh).
+
+    `degraded` selects the edit-degraded serve policy (sparse-roam
+    shortlists + wider concurrent slots + binning) exactly as the
+    single-chip engine resolves it from scene roamability
+    (engine._scene_degraded); the mesh step has no live roamability
+    mirror, so the caller decides."""
     n = mesh.devices.size
     if height % n != 0:
         raise ValueError(f"internal height {height} must divide the mesh size {n}")
@@ -95,7 +102,15 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
             row0=row0, rows=rows, max_steps=trace_config.max_steps,
             tables=tables, use_skip=trace_config.empty_skip,
             row_bands=bands, region_blocks=region_blocks,
-            tile_interpret=tile_interpret)
+            tile_interpret=tile_interpret,
+            # round-4 serve policy, resolved the same way as the
+            # single-chip engine (_step_key): concurrent serve for the
+            # incoherent classes by default, degraded knobs per caller
+            bounce_concurrent=(True if trace_config.bounce_concurrent is None
+                               else bool(trace_config.bounce_concurrent)),
+            bin_incoherent=(degraded if trace_config.bin_incoherent is None
+                            else trace_config.bin_incoherent),
+            sparse_roam=degraded)
 
     # check_vma stays ON for the XLA path: the DDA while_loop seeds its
     # carries from the (tile-varying) ray direction arrays so the
