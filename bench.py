@@ -54,7 +54,8 @@ SCENE_CACHE = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
 
 
 def _emit(value: float, note: str | None = None,
-          parity: float | None = None) -> None:
+          parity: float | None = None,
+          extra: dict | None = None) -> None:
     rec = {
         "metric": METRIC,
         "value": round(float(value), 2),
@@ -68,15 +69,28 @@ def _emit(value: float, note: str | None = None,
         rec["parity_vs_oracle"] = round(float(parity), 4)
     if note:
         rec["note"] = note
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec))
     sys.stdout.flush()
 
 
+# Best result so far: if the SIGALRM fires during a later phase (e.g. the
+# default-workload measure), the headline number already earned is emitted
+# instead of a zero (round-5 verdict: cut the cold-compile exposure).
+_PARTIAL: dict | None = None
+
+
 def _timeout_handler(signum, frame):
     # The TPU tunnel in this environment can wedge for long stretches; emit
-    # an honest zero instead of hanging the driver.
+    # the best result so far (honest zero if none) instead of hanging.
     print("# bench timed out (TPU tunnel unresponsive)", file=sys.stderr)
-    _emit(0.0, "timeout: TPU unresponsive")
+    if _PARTIAL is not None:
+        _emit(_PARTIAL["mrays"],
+              (_PARTIAL.get("note") or "") + " [timed out in a later phase]",
+              _PARTIAL.get("parity"), _PARTIAL.get("extra"))
+    else:
+        _emit(0.0, "timeout: TPU unresponsive")
     _os._exit(0)
 
 
@@ -175,7 +189,7 @@ def _attempt(frames: int):
 
     def make_frame(max_phases: int):
         @jax.jit
-        def frame(acc, unf, cv):
+        def frame(acc, unf, stl, cv):
             ox, oy, oz, dx, dy, dz = tt._camera_rays_soa(cv, width, height, 0)
             inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
             dx, dy, dz = dx * inv, dy * inv, dz * inv
@@ -191,7 +205,10 @@ def _attempt(frames: int):
             acc = (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
                    + jnp.float32(1.0))
             unf = unf + jnp.sum(h["unfinished"].astype(jnp.int32))
-            return acc, unf
+            # stall-guard give-ups alone (round-5 verdict: quantify the
+            # guard beyond the default scene's known lanes)
+            stl = stl + jnp.sum(h["stalled"].astype(jnp.int32))
+            return acc, unf, stl
 
         return frame
 
@@ -206,44 +223,45 @@ def _attempt(frames: int):
         cam_vecs.append({k: jnp.asarray(v) for k, v in
                          tt.camera_vectors(cam.d_camera).items()})
 
+    # ONE kernel variant (round-5 verdict: cut cold-compile exposure —
+    # the old 64-then-256 phase ladder compiled the kernel twice; budgets
+    # are caps with early exit, so a healthy scene runs identically fast
+    # under the 256 cap and a starved one no longer needs a redo)
     note = None
-    for max_phases in (64, 256):
-        frame = make_frame(max_phases)
+    frame = make_frame(256)
 
-        # warmup: compile + one full execution, synced by a host read
-        t0 = time.time()
-        acc, unf = frame(jnp.float32(0.0), jnp.int32(0), cam_vecs[0])
-        _ = float(acc)
-        print(f"# warmup @{max_phases} phases (compile + 1 frame): "
-              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    # warmup: compile + one full execution, synced by a host read
+    t0 = time.time()
+    acc, unf, stl = frame(jnp.float32(0.0), jnp.int32(0), jnp.int32(0),
+                          cam_vecs[0])
+    _ = float(acc)
+    print(f"# warmup @256 phases (compile + 1 frame): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-        t0 = time.time()
-        acc, unf = jnp.float32(0.0), jnp.int32(0)
-        for i in range(frames):
-            acc, unf = frame(acc, unf, cam_vecs[i])
-        checksum = float(acc)  # single sync for the whole run
-        elapsed = time.time() - t0
-        unfinished = int(unf)
+    t0 = time.time()
+    acc, unf, stl = jnp.float32(0.0), jnp.int32(0), jnp.int32(0)
+    for i in range(frames):
+        acc, unf, stl = frame(acc, unf, stl, cam_vecs[i])
+    checksum = float(acc)  # single sync for the whole run
+    elapsed = time.time() - t0
+    unfinished = int(unf)
+    stalled = int(stl)
 
-        per_frame = elapsed / frames
-        mrays = width * height / per_frame / 1e6
-        print(f"# {frames} frames in {elapsed:.2f}s -> "
-              f"{per_frame * 1e3:.1f} ms/frame (checksum {checksum:.3f}, "
-              f"unfinished lanes {unfinished})", file=sys.stderr)
-        if unfinished == 0:
-            return mrays, note, _safe_parity(sc, arrays, blocks)
-        # starved lanes: only credit fully retired rays — redo at a budget
-        # that retires everything (the engine's own coherent-ray floor)
-        note = (f"raised phase budget to 256 after {unfinished} "
-                f"starved lanes at 64")
-        print(f"# {note}", file=sys.stderr)
-
-    # still unfinished at 256: report the measured rate but only credit
-    # retired rays, honestly noted
-    total = width * height * frames
-    mrays *= max(0.0, 1.0 - unfinished / total)
-    return (mrays, f"{unfinished}/{total} lanes unfinished at 256 phases",
-            _safe_parity(sc, arrays, blocks))
+    per_frame = elapsed / frames
+    mrays = width * height / per_frame / 1e6
+    print(f"# {frames} frames in {elapsed:.2f}s -> "
+          f"{per_frame * 1e3:.1f} ms/frame (checksum {checksum:.3f}, "
+          f"unfinished lanes {unfinished}, stall-guard give-ups {stalled})",
+          file=sys.stderr)
+    if unfinished > 0:
+        # only credit fully retired rays, honestly noted
+        total = width * height * frames
+        mrays *= max(0.0, 1.0 - unfinished / total)
+        note = f"{unfinished}/{total} lanes unfinished at 256 phases"
+    if stalled > 0:
+        note = ((note + "; ") if note else "") + \
+            f"{stalled} stall-guard give-ups"
+    return mrays, note, _safe_parity(sc, arrays, blocks)
 
 
 def _safe_parity(sc, arrays, blocks):
@@ -256,7 +274,40 @@ def _safe_parity(sc, arrays, blocks):
         return None
 
 
+def _default_frame_ms(frames: int = 4) -> float:
+    """Full default-workload frame time through the engine (1024x576,
+    2 spp, 2+1 bounces, sun shadows, denoiser — main.zig:122-135): the
+    second driver-captured number (round-5 verdict: the frame-time story
+    must be regression-visible across rounds, not commit-message-only)."""
+    import numpy as np
+
+    from zig_vulkan_tpu.config import (CameraConfig, DenoiserConfig,
+                                       EngineConfig, SunConfig)
+    from zig_vulkan_tpu.engine.engine import VoxelRT
+    from zig_vulkan_tpu.models.scenes import cached_default_scene
+
+    sc = cached_default_scene(SCENE_CACHE)
+    rt = VoxelRT(sc.grid, sc.materials, EngineConfig(
+        internal_resolution_width=1024, internal_resolution_height=576,
+        camera=CameraConfig(origin=(0.0, 0.0, 0.0), samples_per_pixel=2,
+                            max_bounce=2),
+        sun=SunConfig(enabled=True, animate=False),
+        denoiser=DenoiserConfig(enabled=True)))
+    t0 = time.time()
+    np.asarray(rt.render())  # compile + tables
+    print(f"# default-frame warmup (compile + 1 frame): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(frames):
+        img = rt.render()
+    np.asarray(img)  # one sync for the chained frames
+    ms = (time.time() - t0) / frames * 1e3
+    print(f"# default workload: {ms:.1f} ms/frame", file=sys.stderr)
+    return ms
+
+
 def main() -> None:
+    global _PARTIAL
     signal.signal(signal.SIGALRM, _timeout_handler)
     signal.alarm(BENCH_TIMEOUT_S)
 
@@ -266,9 +317,9 @@ def main() -> None:
     for attempt in (1, 2, 3):
         try:
             mrays, note, parity = _attempt(frames)
-            _emit(mrays, note, parity)
-            return
+            break
         except Exception as e:
+            mrays = None
             last_err = e
             print(f"# attempt {attempt} failed: {e!r}", file=sys.stderr)
             if attempt < 3:
@@ -277,7 +328,23 @@ def main() -> None:
                 # pattern cleared within minutes, so back off and retry —
                 # the SIGALRM cap still bounds the whole run
                 time.sleep(30.0 * attempt)
-    _emit(0.0, f"failed after retries: {type(last_err).__name__}: {last_err}")
+    if mrays is None:
+        _emit(0.0,
+              f"failed after retries: {type(last_err).__name__}: {last_err}")
+        return
+
+    # headline earned: protect it before the (compile-heavy) second phase
+    _PARTIAL = {"mrays": mrays, "note": note, "parity": parity}
+    extra = None
+    try:
+        extra = {"default_frame_ms": round(_default_frame_ms(), 1),
+                 "default_frame_workload":
+                     "1024x576 2spp 2+1bounce sun denoiser"}
+    except Exception as e:  # noqa: BLE001 — the headline must survive
+        note = ((note + "; ") if note else "") + \
+            f"default-frame measure failed: {type(e).__name__}"
+        print(f"# default-frame measure failed: {e!r}", file=sys.stderr)
+    _emit(mrays, note, parity, extra)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,7 @@ Times one jitted engine step (the reference default workload:
 /root/reference/src/main.zig:122-135) on the DEFAULT (roamable) scene under
 a serve-policy knob combo:
 
-    python benchmarks/default_frame_ab.py <concurrent 0|1> <bin 0|1> [frames]
+    python benchmarks/default_frame_ab.py <concurrent 0|1|a> <bin 0|1> [frames] [sun_in_kernel 0|1|a]
 
 Honest chained timing (one host sync at the end). Prints one JSON line.
 Run each combo in its own process to keep compile caches honest.
@@ -34,6 +34,8 @@ def main() -> None:
     concurrent = None if carg == "a" else carg == "1"
     bin_inc = (_sys.argv[2] == "1") if len(_sys.argv) > 2 else False
     frames = int(_sys.argv[3]) if len(_sys.argv) > 3 else 6
+    sarg = _sys.argv[4] if len(_sys.argv) > 4 else "a"
+    sun_in_kernel = None if sarg == "a" else sarg == "1"
 
     from zig_vulkan_tpu.config import (CameraConfig, DenoiserConfig,
                                        EngineConfig, SunConfig, TraceConfig)
@@ -48,7 +50,8 @@ def main() -> None:
         sun=SunConfig(enabled=True, animate=False),
         denoiser=DenoiserConfig(enabled=True),
         trace=TraceConfig(bounce_concurrent=concurrent,
-                          bin_incoherent=bin_inc)))
+                          bin_incoherent=bin_inc,
+                          sun_in_kernel=sun_in_kernel)))
     img = rt.render()  # compile + tables
     np.asarray(img)
     t0 = time.time()
@@ -59,6 +62,7 @@ def main() -> None:
     print(json.dumps({
         "workload": "default 1024x576 2spp 2+1bounce sun denoiser",
         "bounce_concurrent": concurrent, "bin_incoherent": bin_inc,
+        "sun_in_kernel": sun_in_kernel,
         "ms_per_frame": round(dt * 1e3, 1), "fps": round(1.0 / dt, 2),
     }), flush=True)
 

@@ -114,6 +114,18 @@ class TraceConfig:
     # 8 degraded). False forces the sequential serve — used by
     # benchmarks/bounce_sweep.py hardware A/Bs.
     bounce_concurrent: Optional[bool] = None
+    # round 5: trace each bounce level's sun-shadow ray INSIDE the same
+    # Pallas launch (the kernel's shadow-probe stage — the reference's
+    # in-kernel structure, brick_raytracer.comp:240-249) instead of one
+    # separate region-marching launch per shadow class. Bit-exact with
+    # the separate-launch path, but measured SLOWER on hardware (default
+    # workload 493.7 vs 460.4 ms/frame): the serialized scatter+shadow
+    # march lengthens the tile's max-over-lanes phase loop and sun-ward
+    # shadow rays share no region residency with the scatter rays, which
+    # costs more than the halved launch overhead saves. None = auto
+    # (currently OFF); True opts in (benchmarks/default_frame_ab.py
+    # A/B). Only affects the Pallas path.
+    sun_in_kernel: Optional[bool] = None
     # the scene counts as "degraded" (empty-space roaming collapsed;
     # incoherent ray classes switch to the concurrent multi-region serve)
     # when more than this fraction of regions is non-empty. Measured:

@@ -130,7 +130,7 @@ class VoxelRT:
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_pixel_multiplier, max_steps,
          empty_skip, temporal, row_bands, use_pallas, degraded,
-         bin_incoherent, bounce_concurrent) = key
+         bin_incoherent, bounce_concurrent, sun_in_kernel) = key
         static = self.grid_static
 
         def body(arrays, tables, region_blocks, mats, pc, accum):
@@ -160,7 +160,10 @@ class VoxelRT:
                                 else bin_incoherent),
                 # shortlist roam-through of near-empty regions: only pays
                 # (and only costs) on spray-degraded scenes
-                sparse_roam=degraded)
+                sparse_roam=degraded,
+                # round 5: sun-shadow rays traced inside the scatter
+                # launch (the kernel's shadow-probe stage)
+                shadow_probe=sun_in_kernel)
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (pc[22] + F(1.0))
@@ -248,7 +251,18 @@ class VoxelRT:
                 # ops.trace.hit (4 roamable / 8 degraded). False forces
                 # the sequential serve (A/B escape hatch).
                 (True if self.trace_config.bounce_concurrent is None
-                 else bool(self.trace_config.bounce_concurrent)))
+                 else bool(self.trace_config.bounce_concurrent)),
+                # None = auto: OFF. The in-kernel sun-shadow probe
+                # (round 5) is bit-exact but measured SLOWER on hardware
+                # than separate shadow launches (default workload 493.7
+                # vs 460.4 ms/frame): the serialized scatter+shadow march
+                # lengthens the tile's max-over-lanes phase loop and the
+                # sun-ward shadow directions share no region residency
+                # with the scatter rays, costing more than the saved
+                # launch overhead. True opts in (A/B escape hatch).
+                self._use_pallas()
+                and (False if self.trace_config.sun_in_kernel is None
+                     else bool(self.trace_config.sun_in_kernel)))
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""

@@ -365,10 +365,11 @@ def _lookup(block_field, local_idx):
 
 
 def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
-                 needs_ignore: bool, predicated: bool = True,
+                 needs_ignore: bool,
                  stats: bool = False, step_unroll: int = 1,
-                 split: bool = False, concurrent: bool = False,
-                 n_serve: int = _N_SERVE, sparse_roam: bool = False):
+                 concurrent: bool = False,
+                 n_serve: int = _N_SERVE, sparse_roam: bool = False,
+                 shadow: bool = False):
     # step_unroll: run the DDA step body K times per while iteration — the
     # loop condition's any() is a vector->scalar reduction with real
     # latency; checking it every K cheap steps trades <=K-1 wasted
@@ -376,19 +377,39 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
     # stats=True builds a diagnostic variant that counts phases (sublane 0)
     # and live DDA steps (sublane 1) per lane into the pending output's
     # value space — used by tuning runs to locate where frame time goes.
+    #
+    # shadow=True builds the SUN-SHADOW-PROBE variant (round 5): each lane
+    # carries a per-lane jittered sun TARGET point; when a stage-0 lane
+    # retires with a hit, it records the hit and IMMEDIATELY becomes a
+    # shadow ray (origin = hit point + normal epsilon, direction = toward
+    # its target) marching on inside the same phase loop — the region
+    # holding the hit is already VMEM-resident, so the shadow traversal
+    # starts without a park/DMA. This is the reference's structure (the
+    # sun ray is traced inside the same kernel invocation,
+    # brick_raytracer.comp:240-249) and removes one whole region-marching
+    # launch per bounce level. An extra `occluded` output reports the
+    # shadow verdict. Only the split serve paths support it.
     dim_x, dim_y, dim_z = static.dims
     ny, nz, nx = region_grid(static)
     ry, rz, rx = REGION_CELLS
     gx0, gy0, gz0 = (np.float32(v) for v in static.min_point)
+    gx1, gy1, gz1 = (np.float32(v) for v in static.max_point)
     scale = np.float32(static.scale)
     voxel_scale = np.float32(static.scale / _BD)
-
     n_regions = ny * nz * nx
     c_rows = _cdiv(n_regions, 128)
 
-    def kernel(blocks_hbm, coarse_ref, ox_ref, oy_ref, oz_ref, dx_ref,
-               dy_ref, dz_ref, tb_ref, act_ref, key_ref, found_ref, t_ref,
-               ncode_ref, addr_ref, pend_ref, scratch, sem):
+    def kernel(*refs):
+        if shadow:
+            (blocks_hbm, coarse_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+             dy_ref, dz_ref, tb_ref, act_ref, key_ref, tgx_ref, tgy_ref,
+             tgz_ref, found_ref, t_ref, ncode_ref, addr_ref, pend_ref,
+             occl_ref, scratch, sem) = refs
+            tgx, tgy, tgz = tgx_ref[:], tgy_ref[:], tgz_ref[:]
+        else:
+            (blocks_hbm, coarse_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+             dy_ref, dz_ref, tb_ref, act_ref, key_ref, found_ref, t_ref,
+             ncode_ref, addr_ref, pend_ref, scratch, sem) = refs
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         act = act_ref[:] != 0
@@ -410,9 +431,9 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
         code_z = jnp.where(stz < 0, 2, 6)
 
         # slab entry code + grid_t_max (as in ops.trace)
-        tux = (np.float32(static.max_point[0]) - ox) * ix
-        tuy = (np.float32(static.max_point[1]) - oy) * iy
-        tuz = (np.float32(static.max_point[2]) - oz) * iz
+        tux = (gx1 - ox) * ix
+        tuy = (gy1 - oy) * iy
+        tuz = (gz1 - oz) * iz
         tlx = (gx0 - ox) * ix
         tly = (gy0 - oy) * iy
         tlz = (gz0 - oz) * iz
@@ -430,17 +451,129 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             jnp.where(is_y, jnp.where(iy >= 0, 1, 5),
                       jnp.where(iz >= 0, 2, 6))).astype(jnp.int32)
 
-        def grid_init(tb):
+        def ginit_p(tb, pox, poy, poz, pdx, pdy, pdz, padx, pady, padz,
+                    psxf, psyf, pszf):
+            """grid_init for arbitrary (per-lane mutable) ray state — the
+            shadow probe swaps a lane's ray mid-march."""
             t0 = tb + F(1e-4) * scale
-            fx = (ox + dx * t0 - gx0) / scale
-            fy = (oy + dy * t0 - gy0) / scale
-            fz = (oz + dz * t0 - gz0) / scale
-            sx = (stxf * (jnp.floor(fx) - fx) + (stxf * F(0.5) + F(0.5))) * adx
-            sy = (styf * (jnp.floor(fy) - fy) + (styf * F(0.5) + F(0.5))) * ady
-            sz = (stzf * (jnp.floor(fz) - fz) + (stzf * F(0.5) + F(0.5))) * adz
+            fx = (pox + pdx * t0 - gx0) / scale
+            fy = (poy + pdy * t0 - gy0) / scale
+            fz = (poz + pdz * t0 - gz0) / scale
+            sx = (psxf * (jnp.floor(fx) - fx) + (psxf * F(0.5) + F(0.5))) * padx
+            sy = (psyf * (jnp.floor(fy) - fy) + (psyf * F(0.5) + F(0.5))) * pady
+            sz = (pszf * (jnp.floor(fz) - fz) + (pszf * F(0.5) + F(0.5))) * padz
             return (sx, sy, sz, jnp.floor(fx).astype(jnp.int32),
                     jnp.floor(fy).astype(jnp.int32),
                     jnp.floor(fz).astype(jnp.int32))
+
+        def grid_init(tb):
+            return ginit_p(tb, ox, oy, oz, dx, dy, dz, adx, ady, adz,
+                           stxf, styf, stzf)
+
+        # kernel-scope aliases of the INITIAL ray state + derived
+        # constants: the shadow probe carries per-lane mutable versions
+        # through the march loops; the non-shadow build keeps reading
+        # these (identical values, identical compiled code)
+        oxC, oyC, ozC, dxC, dyC, dzC = ox, oy, oz, dx, dy, dz
+        ixC, iyC, izC = ix, iy, iz
+        adxC, adyC, adzC = adx, ady, adz
+        stxC, styC, stzC = stx, sty, stz
+        stxfC, styfC, stzfC = stxf, styf, stzf
+        code_xC, code_yC, code_zC = code_x, code_y, code_z
+        inv_max_absC, tmax_allC = inv_max_abs, tmax_all
+
+        def _shadow_transition(trans, ncode, out_t, tgx, tgy, tgz, args):
+            """Ray swap at the scatter->shadow transition (shadow probe):
+            for lanes that just recorded a stage-0 hit, replace the ray
+            with the sun-shadow ray — origin = hit point + normal epsilon
+            (identical formula to the wrapper's px/py/pz decode),
+            direction = toward the lane's jittered sun target — re-derive
+            all direction constants + slab bounds + DDA cursor, and retire
+            lanes whose shadow ray exits the grid immediately (lit).
+            Predicated on any(trans): transitions are brick-entry-rate
+            events, not march-rate."""
+
+            def do_trans(a):
+                (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                 stxf, styf, stzf, inv_max_abs, tmax_all,
+                 t_base, tv, sx, sy, sz, lx, ly, lz,
+                 stage, run_i2, pending) = a
+                sign = jnp.where(ncode < 4, F(1.0), F(-1.0))
+                axis = ncode & 3
+                t_off = voxel_scale * F(0.05)
+                nx_ = jnp.where(axis == 0, sign, F(0.0))
+                ny_ = jnp.where(axis == 1, sign, F(0.0))
+                nz_ = jnp.where(axis == 2, sign, F(0.0))
+                px = ox + dx * out_t + nx_ * t_off
+                py = oy + dy * out_t + ny_ * t_off
+                pz = oz + dz * out_t + nz_ * t_off
+                ndx = tgx - px
+                ndy = tgy - py
+                ndz = tgz - pz
+                ninv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+                ndx, ndy, ndz = ndx * ninv, ndy * ninv, ndz * ninv
+                nix = jnp.where(ndx == 0.0, F(1e12), F(1.0) / ndx)
+                niy = jnp.where(ndy == 0.0, F(1e12), F(1.0) / ndy)
+                niz = jnp.where(ndz == 0.0, F(1e12), F(1.0) / ndz)
+                nsxf = jnp.sign(ndx)
+                nsyf = jnp.sign(ndy)
+                nszf = jnp.sign(ndz)
+                nimax = F(1.0) / jnp.maximum(
+                    jnp.abs(ndx), jnp.maximum(jnp.abs(ndy), jnp.abs(ndz)))
+                # slab entry/exit of the shadow ray — the same math the
+                # grid_hit_tiles wrapper does before a separate launch
+                t0x, t1x = (gx0 - px) * nix, (gx1 - px) * nix
+                t0y, t1y = (gy0 - py) * niy, (gy1 - py) * niy
+                t0z, t1z = (gz0 - pz) * niz, (gz1 - pz) * niz
+                ntmin = jnp.maximum(
+                    jnp.minimum(t0x, t1x),
+                    jnp.maximum(jnp.minimum(t0y, t1y),
+                                jnp.minimum(t0z, t1z)))
+                ntmax = jnp.minimum(
+                    jnp.maximum(t0x, t1x),
+                    jnp.minimum(jnp.maximum(t0y, t1y),
+                                jnp.maximum(t0z, t1z)))
+                ntb = jnp.maximum(F(1e-5), ntmin)
+                dead = ntb > ntmax  # exits the grid without re-entry: lit
+                nsx, nsy, nsz, nlx, nly, nlz = ginit_p(
+                    ntb, px, py, pz, ndx, ndy, ndz,
+                    jnp.abs(nix), jnp.abs(niy), jnp.abs(niz),
+                    nsxf, nsyf, nszf)
+
+                def sel(new, old):
+                    return jnp.where(trans, new, old)
+
+                ox, oy, oz = sel(px, ox), sel(py, oy), sel(pz, oz)
+                dx, dy, dz = sel(ndx, dx), sel(ndy, dy), sel(ndz, dz)
+                ix, iy, iz = sel(nix, ix), sel(niy, iy), sel(niz, iz)
+                stxf, styf, stzf = (sel(nsxf, stxf), sel(nsyf, styf),
+                                    sel(nszf, stzf))
+                inv_max_abs = sel(nimax, inv_max_abs)
+                tmax_all = sel(ntmax, tmax_all)
+                t_base = sel(ntb, t_base)
+                tv = jnp.where(trans, F(0.0), tv)
+                sx, sy, sz = sel(nsx, sx), sel(nsy, sy), sel(nsz, sz)
+                lx, ly, lz = sel(nlx, lx), sel(nly, ly), sel(nlz, lz)
+                stage = jnp.where(trans, jnp.int32(1), stage)
+                tdead = trans & dead
+                run_i2 = jnp.where(tdead, jnp.int32(0), run_i2)
+                pending = jnp.where(tdead, jnp.int32(-1), pending)
+                return (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                        stxf, styf, stzf, inv_max_abs, tmax_all,
+                        t_base, tv, sx, sy, sz, lx, ly, lz,
+                        stage, run_i2, pending)
+
+            (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+             stxf, styf, stzf, inv_max_abs, tmax_all,
+             t_base, tv, sx, sy, sz, lx, ly, lz,
+             stage, running, pending) = args
+            out = jax.lax.cond(
+                jnp.any(trans), do_trans, lambda a: a,
+                (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                 stxf, styf, stzf, inv_max_abs, tmax_all,
+                 t_base, tv, sx, sy, sz, lx, ly, lz,
+                 stage, running.astype(jnp.int32), pending))
+            return out[:23] + (out[23] != 0, out[24])
 
         def region_of(lx, ly, lz):
             return (lx // rx) + nx * ((lz // rz) + nz * (ly // ry))
@@ -503,8 +636,18 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             roam_sparse = ~roam_empty & (s_sz > 0) & ~hit_any
             return roam_empty | roam_sparse, roam_empty
 
-        # per-lane persistent state across phases
-        _, _, _, lx0, ly0, lz0 = grid_init(t0_in)
+        # per-lane persistent state across phases. The DDA cursor
+        # (sx..sz accumulated axis distances, lx..lz integer cell, t_base,
+        # tv) is CARRIED across phases since round 5 instead of being
+        # re-derived from t at each serve: float re-derivation at a park
+        # could disagree with the integer cell the lane had stepped into
+        # (a ray grazing a cell-boundary plane with a near-zero direction
+        # component oscillated between two regions forever — the round-3
+        # stuck-lane pathology that made every launch pay an ~11 ms
+        # starved-lane retrace cond). Carrying the cursor makes the march
+        # exactly the XLA wavefront's incremental DDA: no oscillation, no
+        # per-park float drift, and healthy scenes retire every lane.
+        sx0, sy0, sz0, lx0, ly0, lz0 = grid_init(t0_in)
         in_grid0 = ((lx0 >= 0) & (lx0 < dim_x) & (ly0 >= 0) & (ly0 < dim_y)
                     & (lz0 >= 0) & (lz0 < dim_z))
         pend0 = jnp.where(act & in_grid0, region_of(lx0, ly0, lz0), -1)
@@ -517,12 +660,44 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             iterations where some lane actually enters a brick. Removes
             ~40% of the per-iteration op count and all brick iterations
             from the loop (measured: see docs/DESIGN_NOTES.md)."""
-            (pending, t_cur, ncode, found_ph, out_t, out_addr,
-             n_phase, n_step) = st
+            if shadow:
+                (pending, t_cur, ncode, found_ph, out_t, out_addr,
+                 ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz, ph_tb, ph_tv,
+                 ph_ox, ph_oy, ph_oz, ph_dx, ph_dy, ph_dz,
+                 ph_stage, ph_occl, n_phase, n_step) = st
+            else:
+                (pending, t_cur, ncode, found_ph, out_t, out_addr,
+                 ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz, ph_tb, ph_tv,
+                 n_phase, n_step) = st
             t_off = voxel_scale * F(0.05)
 
             def serve(rid, scr, st6):
-                (pending, t_cur, ncode, found_i6, out_t, out_addr) = st6
+                if shadow:
+                    (pending, t_cur, ncode, found_i6, out_t, out_addr,
+                     c_sx, c_sy, c_sz, c_lx, c_ly, c_lz, c_tb, c_tv,
+                     s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                     stage, occl) = st6
+                    # derived constants for the CURRENT per-lane rays
+                    # (post any earlier-phase transitions)
+                    s_ix = jnp.where(s_dx == 0.0, F(1e12), F(1.0) / s_dx)
+                    s_iy = jnp.where(s_dy == 0.0, F(1e12), F(1.0) / s_dy)
+                    s_iz = jnp.where(s_dz == 0.0, F(1e12), F(1.0) / s_dz)
+                    s_sxf = jnp.sign(s_dx)
+                    s_syf = jnp.sign(s_dy)
+                    s_szf = jnp.sign(s_dz)
+                    s_imax = F(1.0) / jnp.maximum(
+                        jnp.abs(s_dx), jnp.maximum(jnp.abs(s_dy),
+                                                   jnp.abs(s_dz)))
+                    s_tmax = jnp.minimum(
+                        jnp.maximum((gx0 - s_ox) * s_ix, (gx1 - s_ox) * s_ix),
+                        jnp.minimum(
+                            jnp.maximum((gy0 - s_oy) * s_iy,
+                                        (gy1 - s_oy) * s_iy),
+                            jnp.maximum((gz0 - s_oz) * s_iz,
+                                        (gz1 - s_oz) * s_iz)))
+                else:
+                    (pending, t_cur, ncode, found_i6, out_t, out_addr,
+                     c_sx, c_sy, c_sz, c_lx, c_ly, c_lz, c_tb, c_tv) = st6
                 mine = (pending >= 0) & (pending == rid)
                 r_y = rid // (nz * nx)
                 r_z = (rid // nx) % nz
@@ -530,13 +705,36 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 bx0 = r_x * rx
                 by0 = r_y * ry
                 bz0 = r_z * rz
-                sx, sy, sz, lx, ly, lz = grid_init(t_cur)
-                t_base = t_cur
-                tv = jnp.zeros_like(t_cur)
+                # the carried DDA cursor continues exactly where the lane
+                # parked (no float re-derivation; see the kernel preamble)
+                sx, sy, sz, lx, ly, lz = c_sx, c_sy, c_sz, c_lx, c_ly, c_lz
+                t_base, tv = c_tb, c_tv
 
                 def m_step(ms):
-                    (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
-                     found_i, out_t, out_addr, pending, t_cur, k) = ms
+                    if shadow:
+                        (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                         found_i, out_t, out_addr, pending, t_cur,
+                         ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                         stxf, styf, stzf, inv_max_abs, tmax_all,
+                         stage, occl, k) = ms
+                        adx, ady, adz = jnp.abs(ix), jnp.abs(iy), jnp.abs(iz)
+                        stx = stxf.astype(jnp.int32)
+                        sty = styf.astype(jnp.int32)
+                        stz = stzf.astype(jnp.int32)
+                        code_x = jnp.where(stx < 0, 0, 4)
+                        code_y = jnp.where(sty < 0, 1, 5)
+                        code_z = jnp.where(stz < 0, 2, 6)
+                        stage0 = stage == 0
+                    else:
+                        (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                         found_i, out_t, out_addr, pending, t_cur, k) = ms
+                        ox, oy, oz, dx, dy, dz = oxC, oyC, ozC, dxC, dyC, dzC
+                        ix, iy, iz = ixC, iyC, izC
+                        adx, ady, adz = adxC, adyC, adzC
+                        stx, sty, stz = stxC, styC, stzC
+                        stxf, styf, stzf = stxfC, styfC, stzfC
+                        code_x, code_y, code_z = code_xC, code_yC, code_zC
+                        inv_max_abs, tmax_all = inv_max_absC, tmax_allC
                     running = run_i != 0
                     found = found_i != 0
 
@@ -600,15 +798,21 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     roam_t = roam_exit + extra * scale * inv_max_abs
                     t_base = jnp.where(roam, roam_t, t_base)
                     do_skip = do_skip | roam
-                    rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+                    rsx, rsy, rsz, rlx, rly, rlz = ginit_p(
+                        t_base, ox, oy, oz, dx, dy, dz, adx, ady, adz,
+                        stxf, styf, stzf)
 
                     def resolve(args):
                         # masks travel as int32 through the cond boundary: bool
                         # (i1) vectors in scf.if results crash the remote
                         # Mosaic compiler (same class as the round-1 bool
                         # loop-carry crash; see module docstring)
-                        (found_i2, out_t, out_addr, ncode, running_i2,
-                         pending) = args
+                        if shadow:
+                            (found_i2, out_t, out_addr, ncode, running_i2,
+                             pending, occl, trans_prev) = args
+                        else:
+                            (found_i2, out_t, out_addr, ncode, running_i2,
+                             pending) = args
                         found = found_i2 != 0
                         running = running_i2 != 0
                         occ_lo = _lookup(scr[_F_OCC_LO], local).astype(jnp.uint32)
@@ -658,8 +862,14 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                             if needs_ignore:
                                 d_word = jnp.where(viu < 32, dml, dmh)
                                 d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
-                                vhit = vhit & ~((d_bit == jnp.uint32(1))
-                                                & (bkey == ray_key))
+                                ig = ((d_bit == jnp.uint32(1))
+                                      & (bkey == ray_key))
+                                if shadow:
+                                    # shadow rays (stage 1) are plain
+                                    # any-hit traces: no dielectric skip
+                                    # (the XLA path's hit_ignore_free)
+                                    ig = ig & stage0
+                                vhit = vhit & ~ig
                             bhit = bhit | vhit
                             bt_hit = jnp.where(vhit, entry_t + b_t - t_off,
                                                bt_hit)
@@ -683,6 +893,22 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                                 jnp.where(bax, code_x,
                                           jnp.where(bay, code_y, code_z)),
                                 hcode)
+                        if shadow:
+                            # stage-0 hits RECORD and transition to the
+                            # shadow stage (the caller's ray swap below);
+                            # stage-1 hits are the shadow verdict: retire
+                            rec = bhit & stage0
+                            sh_hit = bhit & ~stage0
+                            found = found | rec
+                            out_t = jnp.where(rec, bt_hit, out_t)
+                            out_addr = jnp.where(rec, baddr, out_addr)
+                            ncode = jnp.where(rec, hit_code, ncode)
+                            occl = occl | sh_hit.astype(jnp.int32)
+                            running = running & ~sh_hit
+                            pending = jnp.where(sh_hit, -1, pending)
+                            return (found.astype(jnp.int32), out_t, out_addr,
+                                    ncode, running.astype(jnp.int32), pending,
+                                    occl, rec.astype(jnp.int32))
                         found = found | bhit
                         out_t = jnp.where(bhit, bt_hit, out_t)
                         out_addr = jnp.where(bhit, baddr, out_addr)
@@ -692,10 +918,19 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                         return (found.astype(jnp.int32), out_t, out_addr, ncode,
                                 running.astype(jnp.int32), pending)
 
-                    (found_i, out_t, out_addr, ncode, running_i, pending) = \
-                        jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
-                                     (found.astype(jnp.int32), out_t, out_addr,
-                                      ncode, running.astype(jnp.int32), pending))
+                    if shadow:
+                        (found_i, out_t, out_addr, ncode, running_i, pending,
+                         occl, trans_i) = jax.lax.cond(
+                            jnp.any(enter), resolve, lambda a: a,
+                            (found.astype(jnp.int32), out_t, out_addr,
+                             ncode, running.astype(jnp.int32), pending,
+                             occl, jnp.zeros_like(pending)))
+                        trans = trans_i != 0
+                    else:
+                        (found_i, out_t, out_addr, ncode, running_i, pending) = \
+                            jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
+                                         (found.astype(jnp.int32), out_t, out_addr,
+                                          ncode, running.astype(jnp.int32), pending))
                     found = found_i != 0
                     running = running_i != 0
 
@@ -704,6 +939,11 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     # running) step out of the cell exactly like the unified
                     # kernel's b_exit path
                     grid_steps = g_act & running & ~do_skip
+                    if shadow:
+                        # freshly transitioned lanes get a new cursor below;
+                        # stage-1 lanes must not clobber the recorded hit
+                        # normal with their march codes
+                        grid_steps = grid_steps & ~trans
                     gax = (sx < sy) & (sx < sz)
                     gay = ~(sx < sy) & (sy < sz)
                     gaz = ~(gax | gay)
@@ -715,8 +955,10 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     ly = jnp.where(grid_steps & gay, ly + sty, ly)
                     lz = jnp.where(grid_steps & gaz, lz + stz, lz)
                     tv = jnp.where(grid_steps, gt_new, tv)
+                    ncode_steps = (grid_steps & stage0 if shadow
+                                   else grid_steps)
                     ncode = jnp.where(
-                        grid_steps,
+                        ncode_steps,
                         jnp.where(gax, code_x, jnp.where(gay, code_y, code_z)),
                         ncode)
                     sx = jnp.where(do_skip, rsx, sx)
@@ -727,14 +969,40 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     lz = jnp.where(do_skip, rlz, lz)
                     tv = jnp.where(do_skip, F(0.0), tv)
 
+                    if shadow:
+                        (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                         stxf, styf, stzf, inv_max_abs, tmax_all,
+                         t_base, tv, sx, sy, sz, lx, ly, lz,
+                         stage, running, pending) = _shadow_transition(
+                            trans, ncode, out_t, tgx, tgy, tgz,
+                            (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                             stxf, styf, stzf, inv_max_abs, tmax_all,
+                             t_base, tv, sx, sy, sz, lx, ly, lz,
+                             stage, running, pending))
+                        return (running.astype(jnp.int32), t_base, tv,
+                                sx, sy, sz, lx, ly, lz, ncode,
+                                found.astype(jnp.int32), out_t, out_addr,
+                                pending, t_cur,
+                                ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                stxf, styf, stzf, inv_max_abs, tmax_all,
+                                stage, occl, k + 1)
                     return (running.astype(jnp.int32), t_base, tv,
                             sx, sy, sz, lx, ly, lz, ncode,
                             found.astype(jnp.int32), out_t, out_addr,
                             pending, t_cur, k + 1)
 
-                ms = (mine.astype(jnp.int32), t_base, tv, sx, sy, sz, lx, ly, lz,
-                      ncode, found_i6, out_t, out_addr, pending, t_cur,
-                      jnp.int32(0))
+                if shadow:
+                    ms = (mine.astype(jnp.int32), t_base, tv,
+                          sx, sy, sz, lx, ly, lz,
+                          ncode, found_i6, out_t, out_addr, pending, t_cur,
+                          s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                          s_ix, s_iy, s_iz, s_sxf, s_syf, s_szf,
+                          s_imax, s_tmax, stage, occl, jnp.int32(0))
+                else:
+                    ms = (mine.astype(jnp.int32), t_base, tv,
+                          sx, sy, sz, lx, ly, lz,
+                          ncode, found_i6, out_t, out_addr, pending, t_cur,
+                          jnp.int32(0))
 
                 def m_cond(ms):
                     return (ms[-1] < steps_per_phase) & jnp.any(ms[0] != 0)
@@ -745,15 +1013,27 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     return ms
 
                 ms = jax.lax.while_loop(m_cond, m_wrap, ms)
-                (run_i, t_base, tv, _, _, _, lx, ly, lz, ncode,
-                 found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
+                if shadow:
+                    (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                     found_i, out_t, out_addr, pending, t_cur,
+                     s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                     _, _, _, _, _, _, _, _, stage, occl, k_steps) = ms
+                else:
+                    (run_i, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                     found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
                 running = run_i != 0
                 exit_t = t_base + F(1e-4) * scale + tv
                 pending = jnp.where(running, region_of(
                     jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
                     jnp.clip(lz, 0, dim_z - 1)), pending)
                 t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
-                return ((pending, t_cur, ncode, found_i, out_t, out_addr),
+                if shadow:
+                    return ((pending, t_cur, ncode, found_i, out_t, out_addr,
+                             sx, sy, sz, lx, ly, lz, t_base, tv,
+                             s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                             stage, occl), k_steps)
+                return ((pending, t_cur, ncode, found_i, out_t, out_addr,
+                         sx, sy, sz, lx, ly, lz, t_base, tv),
                         k_steps)
 
             def lookup_slots(field, local_idx, slot):
@@ -782,7 +1062,30 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 park + next-phase re-init: t_base = exit boundary,
                 grid_init re-derivation), empty regions roam, non-resident
                 non-empty regions park."""
-                (pending, t_cur, ncode, found_i6, out_t, out_addr) = st6
+                if shadow:
+                    (pending, t_cur, ncode, found_i6, out_t, out_addr,
+                     c_sx, c_sy, c_sz, c_lx, c_ly, c_lz, c_tb, c_tv,
+                     s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                     stage, occl) = st6
+                    s_ix = jnp.where(s_dx == 0.0, F(1e12), F(1.0) / s_dx)
+                    s_iy = jnp.where(s_dy == 0.0, F(1e12), F(1.0) / s_dy)
+                    s_iz = jnp.where(s_dz == 0.0, F(1e12), F(1.0) / s_dz)
+                    s_sxf = jnp.sign(s_dx)
+                    s_syf = jnp.sign(s_dy)
+                    s_szf = jnp.sign(s_dz)
+                    s_imax = F(1.0) / jnp.maximum(
+                        jnp.abs(s_dx), jnp.maximum(jnp.abs(s_dy),
+                                                   jnp.abs(s_dz)))
+                    s_tmax = jnp.minimum(
+                        jnp.maximum((gx0 - s_ox) * s_ix, (gx1 - s_ox) * s_ix),
+                        jnp.minimum(
+                            jnp.maximum((gy0 - s_oy) * s_iy,
+                                        (gy1 - s_oy) * s_iy),
+                            jnp.maximum((gz0 - s_oz) * s_iz,
+                                        (gz1 - s_oz) * s_iz)))
+                else:
+                    (pending, t_cur, ncode, found_i6, out_t, out_addr,
+                     c_sx, c_sy, c_sz, c_lx, c_ly, c_lz, c_tb, c_tv) = st6
                 nr_i4 = jnp.int32(n_regions)
                 t_off = voxel_scale * F(0.05)
 
@@ -802,11 +1105,35 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                 slot0 = jnp.where(pending >= 0, slot_of(pending),
                                   jnp.int32(-1))
                 mine = slot0 >= 0
-                sx, sy, sz, lx, ly, lz = grid_init(t_cur)
+                # carried DDA cursor (see the kernel preamble)
+                sx, sy, sz, lx, ly, lz = c_sx, c_sy, c_sz, c_lx, c_ly, c_lz
 
                 def m_step(ms):
-                    (run_i, slot, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
-                     found_i, out_t, out_addr, pending, t_cur, k) = ms
+                    if shadow:
+                        (run_i, slot, t_base, tv, sx, sy, sz, lx, ly, lz,
+                         ncode, found_i, out_t, out_addr, pending, t_cur,
+                         ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                         stxf, styf, stzf, inv_max_abs, tmax_all,
+                         stage, occl, k) = ms
+                        adx, ady, adz = jnp.abs(ix), jnp.abs(iy), jnp.abs(iz)
+                        stx = stxf.astype(jnp.int32)
+                        sty = styf.astype(jnp.int32)
+                        stz = stzf.astype(jnp.int32)
+                        code_x = jnp.where(stx < 0, 0, 4)
+                        code_y = jnp.where(sty < 0, 1, 5)
+                        code_z = jnp.where(stz < 0, 2, 6)
+                        stage0 = stage == 0
+                    else:
+                        (run_i, slot, t_base, tv, sx, sy, sz, lx, ly, lz,
+                         ncode, found_i, out_t, out_addr, pending, t_cur,
+                         k) = ms
+                        ox, oy, oz, dx, dy, dz = oxC, oyC, ozC, dxC, dyC, dzC
+                        ix, iy, iz = ixC, iyC, izC
+                        adx, ady, adz = adxC, adyC, adzC
+                        stx, sty, stz = stxC, styC, stzC
+                        stxf, styf, stzf = stxfC, styfC, stzfC
+                        code_x, code_y, code_z = code_xC, code_yC, code_zC
+                        inv_max_abs, tmax_all = inv_max_absC, tmax_allC
                     running = run_i != 0
                     found = found_i != 0
 
@@ -873,11 +1200,17 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     # exact float path a park + next-phase re-init takes
                     t_base = jnp.where(switch, exit_t, t_base)
                     do_skip = do_skip | roam | switch
-                    rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
+                    rsx, rsy, rsz, rlx, rly, rlz = ginit_p(
+                        t_base, ox, oy, oz, dx, dy, dz, adx, ady, adz,
+                        stxf, styf, stzf)
 
                     def resolve(args):
-                        (found_i2, out_t, out_addr, ncode, running_i2,
-                         pending) = args
+                        if shadow:
+                            (found_i2, out_t, out_addr, ncode, running_i2,
+                             pending, occl, trans_prev) = args
+                        else:
+                            (found_i2, out_t, out_addr, ncode, running_i2,
+                             pending) = args
                         found = found_i2 != 0
                         running = running_i2 != 0
                         occ_lo = lookup_slots(_F_OCC_LO, local,
@@ -930,8 +1263,14 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                             if needs_ignore:
                                 d_word = jnp.where(viu < 32, dml, dmh)
                                 d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
-                                vhit = vhit & ~((d_bit == jnp.uint32(1))
-                                                & (bkey == ray_key))
+                                ig = ((d_bit == jnp.uint32(1))
+                                      & (bkey == ray_key))
+                                if shadow:
+                                    # shadow rays (stage 1) are plain
+                                    # any-hit traces: no dielectric skip
+                                    # (the XLA path's hit_ignore_free)
+                                    ig = ig & stage0
+                                vhit = vhit & ~ig
                             bhit = bhit | vhit
                             bt_hit = jnp.where(vhit, entry_t + b_t - t_off,
                                                bt_hit)
@@ -956,6 +1295,19 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                                 jnp.where(bax, code_x,
                                           jnp.where(bay, code_y, code_z)),
                                 hcode)
+                        if shadow:
+                            rec = bhit & stage0
+                            sh_hit = bhit & ~stage0
+                            found = found | rec
+                            out_t = jnp.where(rec, bt_hit, out_t)
+                            out_addr = jnp.where(rec, baddr, out_addr)
+                            ncode = jnp.where(rec, hit_code, ncode)
+                            occl = occl | sh_hit.astype(jnp.int32)
+                            running = running & ~sh_hit
+                            pending = jnp.where(sh_hit, -1, pending)
+                            return (found.astype(jnp.int32), out_t, out_addr,
+                                    ncode, running.astype(jnp.int32), pending,
+                                    occl, rec.astype(jnp.int32))
                         found = found | bhit
                         out_t = jnp.where(bhit, bt_hit, out_t)
                         out_addr = jnp.where(bhit, baddr, out_addr)
@@ -965,15 +1317,26 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                         return (found.astype(jnp.int32), out_t, out_addr,
                                 ncode, running.astype(jnp.int32), pending)
 
-                    (found_i, out_t, out_addr, ncode, running_i, pending) = \
-                        jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
-                                     (found.astype(jnp.int32), out_t,
-                                      out_addr, ncode,
-                                      running.astype(jnp.int32), pending))
+                    if shadow:
+                        (found_i, out_t, out_addr, ncode, running_i, pending,
+                         occl, trans_i) = jax.lax.cond(
+                            jnp.any(enter), resolve, lambda a: a,
+                            (found.astype(jnp.int32), out_t, out_addr,
+                             ncode, running.astype(jnp.int32), pending,
+                             occl, jnp.zeros_like(pending)))
+                        trans = trans_i != 0
+                    else:
+                        (found_i, out_t, out_addr, ncode, running_i, pending) = \
+                            jax.lax.cond(jnp.any(enter), resolve, lambda a: a,
+                                         (found.astype(jnp.int32), out_t,
+                                          out_addr, ncode,
+                                          running.astype(jnp.int32), pending))
                     found = found_i != 0
                     running = running_i != 0
 
                     grid_steps = g_act & running & ~do_skip
+                    if shadow:
+                        grid_steps = grid_steps & ~trans
                     gax = (sx < sy) & (sx < sz)
                     gay = ~(sx < sy) & (sy < sz)
                     gaz = ~(gax | gay)
@@ -986,8 +1349,10 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     ly = jnp.where(grid_steps & gay, ly + sty, ly)
                     lz = jnp.where(grid_steps & gaz, lz + stz, lz)
                     tv = jnp.where(grid_steps, gt_new, tv)
+                    ncode_steps = (grid_steps & stage0 if shadow
+                                   else grid_steps)
                     ncode = jnp.where(
-                        grid_steps,
+                        ncode_steps,
                         jnp.where(gax, code_x,
                                   jnp.where(gay, code_y, code_z)),
                         ncode)
@@ -999,15 +1364,40 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     lz = jnp.where(do_skip, rlz, lz)
                     tv = jnp.where(do_skip, F(0.0), tv)
 
+                    if shadow:
+                        (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                         stxf, styf, stzf, inv_max_abs, tmax_all,
+                         t_base, tv, sx, sy, sz, lx, ly, lz,
+                         stage, running, pending) = _shadow_transition(
+                            trans, ncode, out_t, tgx, tgy, tgz,
+                            (ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                             stxf, styf, stzf, inv_max_abs, tmax_all,
+                             t_base, tv, sx, sy, sz, lx, ly, lz,
+                             stage, running, pending))
+                        return (running.astype(jnp.int32), slot, t_base, tv,
+                                sx, sy, sz, lx, ly, lz, ncode,
+                                found.astype(jnp.int32), out_t, out_addr,
+                                pending, t_cur,
+                                ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                stxf, styf, stzf, inv_max_abs, tmax_all,
+                                stage, occl, k + 1)
                     return (running.astype(jnp.int32), slot, t_base, tv,
                             sx, sy, sz, lx, ly, lz, ncode,
                             found.astype(jnp.int32), out_t, out_addr,
                             pending, t_cur, k + 1)
 
-                ms = (mine.astype(jnp.int32), slot0, t_cur,
-                      jnp.zeros_like(t_cur), sx, sy, sz, lx, ly, lz,
-                      ncode, found_i6, out_t, out_addr, pending, t_cur,
-                      jnp.int32(0))
+                if shadow:
+                    ms = (mine.astype(jnp.int32), slot0, c_tb,
+                          c_tv, sx, sy, sz, lx, ly, lz,
+                          ncode, found_i6, out_t, out_addr, pending, t_cur,
+                          s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                          s_ix, s_iy, s_iz, s_sxf, s_syf, s_szf,
+                          s_imax, s_tmax, stage, occl, jnp.int32(0))
+                else:
+                    ms = (mine.astype(jnp.int32), slot0, c_tb,
+                          c_tv, sx, sy, sz, lx, ly, lz,
+                          ncode, found_i6, out_t, out_addr, pending, t_cur,
+                          jnp.int32(0))
 
                 def m_cond(ms):
                     return (ms[-1] < steps_per_phase) & jnp.any(ms[0] != 0)
@@ -1018,15 +1408,27 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     return ms
 
                 ms = jax.lax.while_loop(m_cond, m_wrap, ms)
-                (run_i, _, t_base, tv, _, _, _, lx, ly, lz, ncode,
-                 found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
+                if shadow:
+                    (run_i, _, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                     found_i, out_t, out_addr, pending, t_cur,
+                     s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                     _, _, _, _, _, _, _, _, stage, occl, k_steps) = ms
+                else:
+                    (run_i, _, t_base, tv, sx, sy, sz, lx, ly, lz, ncode,
+                     found_i, out_t, out_addr, pending, t_cur, k_steps) = ms
                 running = run_i != 0
                 exit_t = t_base + F(1e-4) * scale + tv
                 pending = jnp.where(running, region_of(
                     jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
                     jnp.clip(lz, 0, dim_z - 1)), pending)
                 t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
-                return ((pending, t_cur, ncode, found_i, out_t, out_addr),
+                if shadow:
+                    return ((pending, t_cur, ncode, found_i, out_t, out_addr,
+                             sx, sy, sz, lx, ly, lz, t_base, tv,
+                             s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                             stage, occl), k_steps)
+                return ((pending, t_cur, ncode, found_i, out_t, out_addr,
+                         sx, sy, sz, lx, ly, lz, t_base, tv),
                         k_steps)
 
             # Multi-region phase: vote the N_SERVE most-urgent pending
@@ -1039,12 +1441,26 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             live = pending >= 0
             inf_t = jnp.float32(3e38)
             nr_i = jnp.int32(ny * nz * nx)
+            if shadow:
+                # two incomparable t scales coexist once lanes transition
+                # (a shadow ray restarts at t ~ 1e-5 while scatter lanes
+                # sit at t ~ the scene scale): an unbiased min-t vote gets
+                # hijacked by every transition batch and thrashes between
+                # fresh shadow regions and mid-flight scatter regions
+                # (measured: the probed [bounce2+shadow2] launch blew up
+                # +113 ms). Order the scatter era first; shadow lanes
+                # accumulate and are then served together from their
+                # (origin-coherent) regions — the separate-launch schedule
+                # without the launch.
+                t_vote = t_cur + ph_stage.astype(F) * F(1e7)
+            else:
+                t_vote = t_cur
             rids = []
             hases = []
             excluded = jnp.zeros_like(live)
             for _v in range(n_serve):
                 cand = live & ~excluded
-                tv_ = jnp.where(cand, t_cur, inf_t)
+                tv_ = jnp.where(cand, t_vote, inf_t)
                 tmin_ = jnp.min(tv_)
                 raw = jnp.min(jnp.where(cand & (tv_ <= tmin_), pending,
                                         nr_i))
@@ -1057,7 +1473,16 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                     for i in range(n_serve)]
             for d in dmas:
                 d.start()
-            st6 = (pending, t_cur, ncode, found_ph, out_t, out_addr)
+            if shadow:
+                st6 = (pending, t_cur, ncode, found_ph, out_t, out_addr,
+                       ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz,
+                       ph_tb, ph_tv,
+                       ph_ox, ph_oy, ph_oz, ph_dx, ph_dy, ph_dz,
+                       ph_stage, ph_occl)
+            else:
+                st6 = (pending, t_cur, ncode, found_ph, out_t, out_addr,
+                       ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz,
+                       ph_tb, ph_tv)
             k_total = jnp.int32(0)
             n_served = jnp.int32(0)
             if concurrent:
@@ -1086,275 +1511,43 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
                             lambda s: (s, jnp.int32(0)), st6)
                     k_total = k_total + k_i
                     n_served = n_served + hases[i].astype(jnp.int32)
-            (pending, t_cur, ncode, found_i, out_t, out_addr) = st6
+            if shadow:
+                (pending, t_cur, ncode, found_i, out_t, out_addr,
+                 ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz, ph_tb, ph_tv,
+                 ph_ox, ph_oy, ph_oz, ph_dx, ph_dy, ph_dz,
+                 ph_stage, ph_occl) = st6
+            else:
+                (pending, t_cur, ncode, found_i, out_t, out_addr,
+                 ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz, ph_tb, ph_tv) = st6
             if stats:
                 n_phase = n_phase + n_served
                 n_step = n_step + k_total
+            if shadow:
+                return (pending, t_cur, ncode, found_i, out_t, out_addr,
+                        ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz,
+                        ph_tb, ph_tv,
+                        ph_ox, ph_oy, ph_oz, ph_dx, ph_dy, ph_dz,
+                        ph_stage, ph_occl, n_phase, n_step)
             return (pending, t_cur, ncode, found_i, out_t, out_addr,
+                    ph_sx, ph_sy, ph_sz, ph_lx, ph_ly, ph_lz, ph_tb, ph_tv,
                     n_phase, n_step)
 
-        def phase_body(_, st):
-            (pending, t_cur, ncode, found_ph, out_t, out_addr,
-             n_phase, n_step) = st
-            found = found_ph != 0
-            live = pending >= 0
-            # the tile's region this phase: the region of the LEAST-ADVANCED
-            # live lane (min t). Serving march-order guarantees progress of
-            # the critical path; a plain min-region vote starves lanes whose
-            # region ids run against the march direction (measured).
-            inf_t = jnp.float32(3e38)
-            t_live = jnp.where(live, t_cur, inf_t)
-            tmin = jnp.min(t_live)
-            rid = jnp.min(jnp.where(live & (t_live <= tmin),
-                                    pending, jnp.int32(ny * nz * nx)))
-            rid = jnp.clip(rid, 0, jnp.int32(ny * nz * nx - 1))
+        cursor0 = (sx0, sy0, sz0, lx0, ly0, lz0, t0_in, jnp.zeros_like(ox))
+        if shadow:
+            st = (pend0, t0_in, slab_code,
+                  jnp.zeros(ox.shape, jnp.int32), jnp.zeros_like(ox),
+                  jnp.zeros(ox.shape, jnp.int32)) + cursor0 + (
+                  ox, oy, oz, dx, dy, dz,
+                  jnp.zeros(ox.shape, jnp.int32),   # stage
+                  jnp.zeros(ox.shape, jnp.int32),   # occluded
+                  jnp.zeros(ox.shape, jnp.int32), jnp.zeros(ox.shape, jnp.int32))
+        else:
+            st = (pend0, t0_in, slab_code,
+                  jnp.zeros(ox.shape, jnp.int32), jnp.zeros_like(ox),
+                  jnp.zeros(ox.shape, jnp.int32)) + cursor0 + (
+                  jnp.zeros(ox.shape, jnp.int32), jnp.zeros(ox.shape, jnp.int32))
 
-            dma = pltpu.make_async_copy(blocks_hbm.at[rid], scratch, sem)
-            dma.start()
-            dma.wait()
-
-            mine = live & (pending == rid)
-            # region box in cell coords
-            r_y = rid // (nz * nx)
-            r_z = (rid // nx) % nz
-            r_x = rid % nx
-            bx0 = r_x * rx
-            by0 = r_y * ry
-            bz0 = r_z * rz
-
-            # re-derive DDA cursor from t (the skip re-init machinery)
-            sx, sy, sz, lx, ly, lz = grid_init(t_cur)
-            t_base = t_cur
-            tv = jnp.zeros_like(t_cur)
-            in_brick = jnp.zeros_like(mine)
-            occ_lo = jnp.zeros(t_cur.shape, jnp.uint32)
-            occ_hi = jnp.zeros(t_cur.shape, jnp.uint32)
-            dml = jnp.zeros(t_cur.shape, jnp.uint32)
-            dmh = jnp.zeros(t_cur.shape, jnp.uint32)
-            brick_key = jnp.full(t_cur.shape, jnp.nan, dtype=F)
-            mat_start = jnp.zeros(t_cur.shape, jnp.int32)
-            entry_t = jnp.zeros_like(t_cur)
-            b_t = jnp.zeros_like(t_cur)
-            bsx = jnp.zeros_like(t_cur)
-            bsy = jnp.zeros_like(t_cur)
-            bsz = jnp.zeros_like(t_cur)
-            blx = jnp.zeros(t_cur.shape, jnp.int32)
-            bly = jnp.zeros(t_cur.shape, jnp.int32)
-            blz = jnp.zeros(t_cur.shape, jnp.int32)
-            running = mine
-
-            def step_body(_, ss):
-                (running_i, in_brick_i, t_base, tv, sx, sy, sz, lx, ly, lz,
-                 bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
-                 occ_lo, occ_hi, dml, dmh, brick_key, mat_start, ncode,
-                 found_i, out_t, out_addr, pending, t_cur) = ss
-                running = running_i != 0
-                in_brick = in_brick_i != 0
-                found = found_i != 0
-
-                g = running & ~in_brick
-                in_region = ((lx >= bx0) & (lx < bx0 + rx)
-                             & (ly >= by0) & (ly < by0 + ry)
-                             & (lz >= bz0) & (lz < bz0 + rz))
-                in_grid = ((lx >= 0) & (lx < dim_x) & (ly >= 0) & (ly < dim_y)
-                           & (lz >= 0) & (lz < dim_z))
-                # leaving the region (but still in grid): park for later
-                exit_t = t_base + F(1e-4) * scale + tv
-                g_park = g & ~in_region & in_grid
-                g_miss = g & ~in_grid
-                pending = jnp.where(g_park, region_of(lx, ly, lz), pending)
-                pending = jnp.where(g_miss, -1, pending)
-                # park exactly at the boundary: the next phase's re-init
-                # adds +1e-4*scale and lands inside the lane's new cell (a
-                # backstep here would land in the OLD region and oscillate)
-                t_cur = jnp.where(g_park, exit_t, t_cur)
-                running = running & ~g_park & ~g_miss
-                g_act = g & in_region
-
-                local = ((lx - bx0) + rx * ((lz - bz0) + rz * (ly - by0)))
-                local = jnp.clip(jnp.where(g_act, local, 0), 0, _RC - 1)
-                packed = _lookup(scratch[_F_PACKED], local)
-                enter = g_act & (packed >= 64)
-                dist = packed & 63
-                mat_start = jnp.where(
-                    enter, ((packed >> 6) - 1) << 6, mat_start)
-
-                # brick registers: fetched only on entry, which is
-                # tile-coherent and rare relative to march steps
-                def load_brick_regs(args):
-                    o_lo, o_hi, d_lo, d_hi, bkey = args
-                    n_lo = _lookup(scratch[_F_OCC_LO], local).astype(jnp.uint32)
-                    n_hi = _lookup(scratch[_F_OCC_HI], local).astype(jnp.uint32)
-                    o_lo = jnp.where(enter, n_lo, o_lo)
-                    o_hi = jnp.where(enter, n_hi, o_hi)
-                    if needs_ignore:
-                        nd_lo = _lookup(scratch[_F_DML], local).astype(jnp.uint32)
-                        nd_hi = _lookup(scratch[_F_DMH], local).astype(jnp.uint32)
-                        nkey = jax.lax.bitcast_convert_type(
-                            _lookup(scratch[_F_IR], local), F)
-                        d_lo = jnp.where(enter, nd_lo, d_lo)
-                        d_hi = jnp.where(enter, nd_hi, d_hi)
-                        bkey = jnp.where(enter, nkey, bkey)
-                    return o_lo, o_hi, d_lo, d_hi, bkey
-
-                regs = (occ_lo, occ_hi, dml, dmh, brick_key)
-                if predicated:
-                    occ_lo, occ_hi, dml, dmh, brick_key = jax.lax.cond(
-                        jnp.any(enter), load_brick_regs, lambda a: a, regs)
-                else:
-                    occ_lo, occ_hi, dml, dmh, brick_key = load_brick_regs(regs)
-
-                do_skip = g_act & ~enter & (dist >= 2)
-                cur_t = t_base + F(1e-4) * scale + tv
-                new_tb = cur_t + (dist.astype(F) - F(1.0)) * scale * inv_max_abs
-                t_base = jnp.where(do_skip, new_tb, t_base)
-                rsx, rsy, rsz, rlx, rly, rlz = grid_init(t_base)
-
-                bminx = lx.astype(F) * scale + gx0
-                bminy = ly.astype(F) * scale + gy0
-                bminz = lz.astype(F) * scale + gz0
-                new_gt = tv + t_base + F(0.01) * scale
-                entry_t = jnp.where(enter, new_gt, entry_t)
-                et = jnp.where(enter, entry_t, F(0.0))
-                bfx = (ox + dx * et - bminx) / voxel_scale
-                bfy = (oy + dy * et - bminy) / voxel_scale
-                bfz = (oz + dz * et - bminz) / voxel_scale
-                bsx = jnp.where(enter, (stxf * (jnp.floor(bfx) - bfx)
-                                        + (stxf * F(0.5) + F(0.5))) * adx, bsx)
-                bsy = jnp.where(enter, (styf * (jnp.floor(bfy) - bfy)
-                                        + (styf * F(0.5) + F(0.5))) * ady, bsy)
-                bsz = jnp.where(enter, (stzf * (jnp.floor(bfz) - bfz)
-                                        + (stzf * F(0.5) + F(0.5))) * adz, bsz)
-                blx = jnp.where(enter, jnp.floor(bfx).astype(jnp.int32), blx)
-                bly = jnp.where(enter, jnp.floor(bfy).astype(jnp.int32), bly)
-                blz = jnp.where(enter, jnp.floor(bfz).astype(jnp.int32), blz)
-                b_t = jnp.where(enter, F(0.0), b_t)
-                in_brick = in_brick | enter
-
-                b = running & in_brick
-                ltm = tmax_all - entry_t
-                in_b_b = ((blx >= 0) & (blx < _BD) & (bly >= 0) & (bly < _BD)
-                          & (blz >= 0) & (blz < _BD) & (b_t <= ltm))
-                b_exit = b & ~in_b_b
-                in_brick = in_brick & ~b_exit
-                b_act = b & in_b_b
-
-                vi = blx + _BD * (blz + _BD * bly)
-                viu = jnp.clip(vi, 0, _BD ** 3 - 1).astype(jnp.uint32)
-                occ_word = jnp.where(viu < 32, occ_lo, occ_hi)
-                occ_bit = (occ_word >> (viu % 32)) & jnp.uint32(1)
-                vhit = b_act & (occ_bit == 1)
-                if needs_ignore:
-                    # same-material skip (brick_raytracer.comp:427) from the
-                    # brick dielectric registers — NaN keys never match
-                    d_word = jnp.where(viu < 32, dml, dmh)
-                    d_bit = (d_word >> (viu % 32)) & jnp.uint32(1)
-                    ignore = (d_bit == jnp.uint32(1)) & (brick_key == ray_key)
-                    real_hit = vhit & ~ignore
-                else:
-                    real_hit = vhit
-
-                t_off = voxel_scale * F(0.05)
-                hit_t = entry_t + b_t - t_off
-                found = found | real_hit
-                out_t = jnp.where(real_hit, hit_t, out_t)
-                out_addr = jnp.where(real_hit, mat_start + vi, out_addr)
-                running = running & ~real_hit
-                pending = jnp.where(real_hit, -1, pending)
-
-                brick_steps = b_act & ~real_hit
-                grid_steps = (g_act & ~enter & ~do_skip) | b_exit
-
-                bax = (bsx < bsy) & (bsx < bsz)
-                bay = ~(bsx < bsy) & (bsy < bsz)
-                baz = ~(bax | bay)
-                bt_new = jnp.where(bax, bsx, jnp.where(bay, bsy, bsz)) * voxel_scale
-                bsx = jnp.where(brick_steps & bax, bsx + adx, bsx)
-                bsy = jnp.where(brick_steps & bay, bsy + ady, bsy)
-                bsz = jnp.where(brick_steps & baz, bsz + adz, bsz)
-                blx = jnp.where(brick_steps & bax, blx + stx, blx)
-                bly = jnp.where(brick_steps & bay, bly + sty, bly)
-                blz = jnp.where(brick_steps & baz, blz + stz, blz)
-                b_t = jnp.where(brick_steps, bt_new, b_t)
-                ncode = jnp.where(
-                    brick_steps,
-                    jnp.where(bax, code_x, jnp.where(bay, code_y, code_z)),
-                    ncode)
-
-                gax = (sx < sy) & (sx < sz)
-                gay = ~(sx < sy) & (sy < sz)
-                gaz = ~(gax | gay)
-                gt_new = jnp.where(gax, sx, jnp.where(gay, sy, sz)) * scale
-                sx = jnp.where(grid_steps & gax, sx + adx, sx)
-                sy = jnp.where(grid_steps & gay, sy + ady, sy)
-                sz = jnp.where(grid_steps & gaz, sz + adz, sz)
-                lx = jnp.where(grid_steps & gax, lx + stx, lx)
-                ly = jnp.where(grid_steps & gay, ly + sty, ly)
-                lz = jnp.where(grid_steps & gaz, lz + stz, lz)
-                tv = jnp.where(grid_steps, gt_new, tv)
-                ncode = jnp.where(
-                    grid_steps,
-                    jnp.where(gax, code_x, jnp.where(gay, code_y, code_z)),
-                    ncode)
-
-                sx = jnp.where(do_skip, rsx, sx)
-                sy = jnp.where(do_skip, rsy, sy)
-                sz = jnp.where(do_skip, rsz, sz)
-                lx = jnp.where(do_skip, rlx, lx)
-                ly = jnp.where(do_skip, rly, ly)
-                lz = jnp.where(do_skip, rlz, lz)
-                tv = jnp.where(do_skip, F(0.0), tv)
-
-                return (running.astype(jnp.int32), in_brick.astype(jnp.int32),
-                        t_base, tv, sx, sy, sz, lx, ly, lz,
-                        bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
-                        occ_lo, occ_hi, dml, dmh, brick_key, mat_start, ncode,
-                        found.astype(jnp.int32), out_t, out_addr, pending, t_cur)
-
-            ss = (running.astype(jnp.int32), in_brick.astype(jnp.int32),
-                  t_base, tv, sx, sy, sz, lx, ly, lz,
-                  bsx, bsy, bsz, blx, bly, blz, b_t, entry_t,
-                  occ_lo, occ_hi, dml, dmh, brick_key, mat_start, ncode,
-                  found.astype(jnp.int32), out_t, out_addr, pending, t_cur)
-            # while_loop with early exit: the crashes observed in round 1
-            # were the BOOL loop carries (bisected); with int32 mask carries
-            # both loops compile on hardware
-            def step_cond(ss_k):
-                ss, k = ss_k
-                return (k < steps_per_phase) & jnp.any(ss[0] != 0)
-
-            def step_wrap(ss_k):
-                ss, k = ss_k
-                for _ in range(step_unroll):
-                    ss = step_body(k, ss)
-                return (ss, k + step_unroll)
-
-            ss, k_steps = jax.lax.while_loop(step_cond, step_wrap,
-                                             (ss, jnp.int32(0)))
-            if stats:
-                n_phase = n_phase + 1
-                n_step = n_step + k_steps
-            (running_i, _, t_base, tv, _, _, _, lx, ly, lz,
-             _, _, _, _, _, _, _, _, _, _, _, _, _, _, ncode,
-             found_i, out_t, out_addr, pending, t_cur) = ss
-            running = running_i != 0
-            found = found_i != 0
-            # lanes still running when the phase budget ends: park in place
-            exit_t = t_base + F(1e-4) * scale + tv
-            pending = jnp.where(running, region_of(
-                jnp.clip(lx, 0, dim_x - 1), jnp.clip(ly, 0, dim_y - 1),
-                jnp.clip(lz, 0, dim_z - 1)), pending)
-            # budget park: re-init will re-check the current cell (idempotent)
-            t_cur = jnp.where(running, exit_t - F(1e-4) * scale, t_cur)
-            return (pending, t_cur, ncode, found.astype(jnp.int32),
-                    out_t, out_addr, n_phase, n_step)
-
-        st = (pend0, t0_in, slab_code,
-              jnp.zeros(ox.shape, jnp.int32), jnp.zeros_like(ox),
-              jnp.zeros(ox.shape, jnp.int32),
-              jnp.zeros(ox.shape, jnp.int32), jnp.zeros(ox.shape, jnp.int32))
-
-        chosen_phase = phase_body_split if split else phase_body
+        chosen_phase = phase_body_split
 
         def phase_cond_plain(st_k):
             st, k = st_k
@@ -1373,17 +1566,16 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
             pend_b, t_b = st[0], st[1]
             st = chosen_phase(k, st)
             pend_a, t_a = st[0], st[1]
-            # STALL GUARD (round 3): a lane grazing a cell-boundary plane
-            # with a near-zero direction component can re-derive its DDA
-            # cursor into the region it just left and advance only the
-            # park epsilon per phase — forever. Such a lane is always the
-            # tile's min-t live lane, so the march-order vote serves ITS
-            # region every phase and the whole tile burns the budget on
-            # it. Detect "served but didn't advance" (min-t live lanes
-            # are by construction served each phase; one cell crossing
-            # advances t by >= scale/|d|max >= scale) and after 8 such
-            # phases hand the lane to the compact XLA retrace (code -3,
-            # reported as unfinished) so the tile can retire.
+            # STALL GUARD (round 3): a lane making no real progress for 8
+            # consecutive served phases is handed to the compact XLA
+            # retrace (code -3, reported as unfinished) so the tile can
+            # retire. The original trigger — park-time float
+            # re-derivation oscillating a boundary-grazing lane between
+            # two regions — is REMOVED by design since round 5 (the DDA
+            # cursor is carried across phases, kernel preamble); the
+            # guard stays as cheap insurance for any residual
+            # no-progress loop (e.g. the skip/roam jumps still re-derive
+            # the cursor from t).
             # Detection: a lane whose region was NOT served this phase
             # keeps t exactly (no write); a SERVED lane either crosses
             # cells (t advances by >= scale/|d|max >= 0.5*scale) or is
@@ -1412,8 +1604,14 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
         else:
             st, _ = jax.lax.while_loop(phase_cond_plain, phase_wrap_plain,
                                        (st, jnp.int32(0)))
-        (pending, t_cur, ncode, found_i, out_t, out_addr,
-         n_phase, n_step) = st
+        if shadow:
+            (pending, t_cur, ncode, found_i, out_t, out_addr,
+             _, _, _, _, _, _, _, _,
+             _, _, _, _, _, _, _fstage, occl_i, n_phase, n_step) = st
+            occl_ref[:] = occl_i
+        else:
+            (pending, t_cur, ncode, found_i, out_t, out_addr,
+             _, _, _, _, _, _, _, _, n_phase, n_step) = st
         found_ref[:] = found_i
         t_ref[:] = out_t
         ncode_ref[:] = ncode
@@ -1430,25 +1628,31 @@ def _tile_kernel(static: GridStatic, max_phases: int, steps_per_phase: int,
 
 
 @partial(jax.jit, static_argnames=("static", "max_phases", "steps_per_phase",
-                                   "needs_ignore", "predicated", "stats",
-                                   "step_unroll", "split", "interpret",
+                                   "needs_ignore", "stats",
+                                   "step_unroll", "interpret",
                                    "concurrent", "n_serve", "sparse_roam"))
 def trace_tiles_regions(static: GridStatic, region_blocks,
                         ox, oy, oz, dx, dy, dz, t_base, active, ray_key=None,
                         max_phases: int = 128, steps_per_phase: int = 48,
-                        needs_ignore: bool = False, predicated: bool = False,
+                        needs_ignore: bool = False,
                         stats: bool = False, step_unroll: int = 2,
-                        split: bool = True, interpret: bool = False,
+                        interpret: bool = False,
                         concurrent: bool = False, n_serve: int = _N_SERVE,
-                        sparse_roam: bool = False):
+                        sparse_roam: bool = False, shadow_targets=None):
     """Region-marching tile trace.
 
     Returns dict(found, t, ncode, mat_addr, unfinished) — `unfinished`
     marks lanes parked when the phase budget ran out (re-trace them on the
-    XLA wavefront; see grid_hit_tiles)."""
+    XLA wavefront; see grid_hit_tiles).
+
+    `shadow_targets=(tgx, tgy, tgz)` builds the sun-shadow-probe kernel:
+    a lane that retires with a hit immediately re-launches as a shadow
+    ray toward its per-lane target inside the same kernel (see
+    _tile_kernel shadow=True); the output gains `occluded` (int mask)."""
     n = ox.shape[0]
     assert n % TILE == 0
     tiles = n // TILE
+    shadow = shadow_targets is not None
     if ray_key is None:
         ray_key = jnp.full((n,), jnp.nan, dtype=F)
 
@@ -1473,39 +1677,52 @@ def trace_tiles_regions(static: GridStatic, region_blocks,
     coarse_spec = pl.BlockSpec(coarse.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
     out_shape = (tiles * TILE_SUBLANES, TILE_LANES)
-    found, t, ncode, addr, pending = pl.pallas_call(
+    n_in = 12 if shadow else 9
+    n_out = 6 if shadow else 5
+    inputs = [blocks, coarse,
+              reshape(ox), reshape(oy), reshape(oz),
+              reshape(dx), reshape(dy), reshape(dz),
+              reshape(t_base), reshape(active.astype(jnp.int32)),
+              reshape(ray_key)]
+    if shadow:
+        tgx, tgy, tgz = shadow_targets
+        inputs += [reshape(tgx), reshape(tgy), reshape(tgz)]
+    outs = pl.pallas_call(
         _tile_kernel(static, max_phases, steps_per_phase, needs_ignore,
-                     predicated, stats, step_unroll, split, concurrent,
-                     n_serve, sparse_roam),
+                     stats, step_unroll, concurrent,
+                     n_serve, sparse_roam, shadow),
         grid=(tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coarse_spec]
-        + [ray_spec] * 9,
-        out_specs=[ray_spec] * 5,
+        + [ray_spec] * n_in,
+        out_specs=[ray_spec] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
-        ],
-        scratch_shapes=([
+        ] + ([jax.ShapeDtypeStruct(out_shape, jnp.int32)] if shadow else []),
+        scratch_shapes=[
             pltpu.VMEM((n_serve, _N_FIELDS, _SUBROWS, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((n_serve,)),
-        ] if split else [
-            pltpu.VMEM((_N_FIELDS, _SUBROWS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ]),
+        ],
         interpret=interpret,
-    )(blocks, coarse,
-      reshape(ox), reshape(oy), reshape(oz),
-      reshape(dx), reshape(dy), reshape(dz),
-      reshape(t_base), reshape(active.astype(jnp.int32)), reshape(ray_key))
+    )(*inputs)
+    if shadow:
+        found, t, ncode, addr, pending, occl = outs
+    else:
+        found, t, ncode, addr, pending = outs
     pend_flat = pending.reshape(n)
     out = dict(found=found.reshape(n) != 0, t=t.reshape(n),
                ncode=ncode.reshape(n), mat_addr=addr.reshape(n),
                # >= 0: phase budget ran out; -3: the stall guard handed
                # the lane to the compact retrace (see phase_wrap)
-               unfinished=(pend_flat >= 0) | (pend_flat == -3))
+               unfinished=(pend_flat >= 0) | (pend_flat == -3),
+               # stall-guard give-ups alone (round-5 verdict: surface the
+               # guard's firing rate so drift on new scenes is visible)
+               stalled=pend_flat == -3)
+    if shadow:
+        out["occluded"] = occl.reshape(n) != 0
     if stats:
         packed = pending.reshape(n)
         out["n_phase"] = packed // 100000
@@ -1549,11 +1766,12 @@ def _from_blocks(a, rows: int, width: int):
 def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
                    ox, oy, oz, dx, dy, dz, active, ray_key=None,
                    max_phases: int = 64, steps_per_phase: int = 48,
-                   needs_ignore: bool = False, predicated: bool = False,
+                   needs_ignore: bool = False,
                    stats: bool = False, step_unroll: int = 2,
-                   split: bool = True, interpret: bool = False,
+                   interpret: bool = False,
                    image_shape=None, concurrent: bool = False,
-                   n_serve: int = _N_SERVE, sparse_roam: bool = False):
+                   n_serve: int = _N_SERVE, sparse_roam: bool = False,
+                   shadow_targets=None):
     """grid_hit-compatible wrapper over the region tracer (SoA outputs).
 
     Serves every ray class: pass `ray_key` (the per-ray refraction key —
@@ -1598,6 +1816,8 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         active = blk(active)
         if ray_key is not None:
             ray_key = blk(ray_key)
+        if shadow_targets is not None:
+            shadow_targets = tuple(blk(a) for a in shadow_targets)
     pad = (-n) % TILE
 
     def p(a, v=0.0):
@@ -1626,9 +1846,11 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         if pad else ok,
         ray_key=None if ray_key is None else p(ray_key, np.nan),
         max_phases=max_phases, steps_per_phase=steps_per_phase,
-        needs_ignore=needs_ignore, predicated=predicated, stats=stats,
-        step_unroll=step_unroll, split=split, interpret=interpret,
-        concurrent=concurrent, n_serve=n_serve, sparse_roam=sparse_roam)
+        needs_ignore=needs_ignore, stats=stats,
+        step_unroll=step_unroll, interpret=interpret,
+        concurrent=concurrent, n_serve=n_serve, sparse_roam=sparse_roam,
+        shadow_targets=None if shadow_targets is None
+        else tuple(p(a) for a in shadow_targets))
 
     found = out["found"][:n]
     t = out["t"][:n]
@@ -1648,7 +1870,10 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         jnp.where(found, addr, 0)].astype(jnp.int32)
     res = dict(found=found, t=t, px=px, py=py, pz=pz,
                nx=nx_, ny=ny_, nz=nz_, index=index,
-               unfinished=out["unfinished"][:n])
+               unfinished=out["unfinished"][:n],
+               stalled=out["stalled"][:n])
+    if shadow_targets is not None:
+        res["occluded"] = out["occluded"][:n]
     if stats:
         res["n_phase"] = out["n_phase"]
         res["n_step"] = out["n_step"]

@@ -844,8 +844,18 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    tile_max_phases=_DEFAULT_TILE_MAX_PHASES,
                    image_shape=None, bounce_concurrent=False,
                    bin_incoherent: bool | None = None,
-                   sparse_roam: bool = False):
+                   sparse_roam: bool = False,
+                   shadow_probe: bool = False):
     n = ox.shape[0]
+    # round 5: the sun-shadow PROBE — on the Pallas path each bounce
+    # level's sun ray is traced INSIDE the scatter launch (the kernel's
+    # shadow stage, ops.tile_tracer shadow=True), exactly the reference's
+    # structure (brick_raytracer.comp:240-249). Halves the region-marching
+    # launches (and their starved-lane retrace conds) of a sun-lit frame.
+    # The XLA wavefront path keeps separate shadow traversals: its
+    # while-loop length is the max over lanes, and chaining two
+    # traversals per lane can only lengthen it.
+    probe = shadow_probe and region_blocks is not None and sun_enabled
     if tables is None:
         tables = build_trace_tables(static, arrays)
     if bin_incoherent is None:
@@ -881,7 +891,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                              needs_ignore=needs)
 
     def hit(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key=None,
-            coherent=True, binned=False):
+            coherent=True, binned=False, shadow_targets=None):
         """Traversal for any ray class: the Pallas region tracer when
         enabled (all ray classes in-kernel since round 2), with an XLA
         wavefront re-trace of any lanes the kernel's phase budget could
@@ -890,7 +900,15 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         selects the CONCURRENT multi-region serve with a wider slot count
         — divergent tiles march all resident regions in one loop instead
         of one mostly-idle loop per region (round-3; docs/PROFILE.md
-        measured these classes at ~85% of the default frame)."""
+        measured these classes at ~85% of the default frame).
+
+        `shadow_targets=(tgx, tgy, tgz)` (round 5, Pallas path only):
+        the SUN-SHADOW PROBE — the kernel traces each hit lane's sun
+        ray in the same launch from the already-resident region block
+        (the reference's in-kernel structure, brick_raytracer.comp:
+        240-249) and the result dict gains `occluded`. Halves the
+        region-marching launches of the sun-lit default workload."""
+        probe = shadow_targets is not None and region_blocks is not None
         if region_blocks is None:
             with jax.named_scope("traverse_xla"):
                 return hit_xla(hox, hoy, hoz, hdx, hdy, hdz, mask, ray_key)
@@ -918,6 +936,10 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # 1024x576); the compact retrace below mops them up for ~1 ms.
         if tile_max_phases is None:
             mp = 256 if ray_key is None else 384
+            if probe:
+                # each lane runs TWO traversals (scatter + its shadow):
+                # allow for the extra phases the shadow march may park
+                mp += 128
         else:
             mp = tile_max_phases
         # a BINNED wavefront is sorted by (origin region, octant): its
@@ -935,6 +957,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  interpret=tile_interpret,
                                  image_shape=None if binned else image_shape,
                                  sparse_roam=sparse_roam,
+                                 shadow_targets=shadow_targets,
                                  # round 4: CONCURRENT is the incoherent
                                  # classes' default on every scene (class
                                  # sweep: 61.2 -> 45.1 ms); bounce_concurrent
@@ -949,6 +972,7 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                     if incoh and _BOUNCE_N_SERVE > 0
                                     else {}))
         unfinished = out.pop("unfinished") & mask
+        occluded = out.pop("occluded") if probe else None
 
         # COMPACT retrace (round 3): the starved lanes are typically a
         # tiny tail (single digits at the default budgets — including the
@@ -961,10 +985,27 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         # retrace so the result is always complete.
         n_unf = jnp.sum(unfinished.astype(jnp.int32))
 
+        def shadow_redo(fb, m, tg3):
+            """XLA shadow trace for re-traced lanes: the same direction
+            derivation the probe kernel does at its transition (target
+            minus the hit point), so a retrace reproduces the kernel's
+            verdict."""
+            sdx = tg3[0] - fb["px"]
+            sdy = tg3[1] - fb["py"]
+            sdz = tg3[2] - fb["pz"]
+            sdx, sdy, sdz = _norm3(sdx, sdy, sdz)
+            sh = hit_xla(fb["px"], fb["py"], fb["pz"], sdx, sdy, sdz,
+                         m & fb["found"])
+            return sh["found"] & fb["found"]
+
         def retrace_full(op):
             fb = hit_xla(hox, hoy, hoz, hdx, hdy, hdz, unfinished, ray_key)
-            return tuple(jnp.where(unfinished, fb[k], op[i])
+            vals = tuple(jnp.where(unfinished, fb[k], op[i])
                          for i, k in enumerate(_HIT_KEYS))
+            if probe:
+                occ = shadow_redo(fb, unfinished, shadow_targets)
+                vals = vals + (jnp.where(unfinished, occ, op[-1]),)
+            return vals
 
         def retrace_compact(op):
             idx = jnp.nonzero(unfinished, size=_RETRACE_CAP,
@@ -973,22 +1014,33 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             ck = None if ray_key is None else ray_key[idx]
             fb = hit_xla(hox[idx], hoy[idx], hoz[idx],
                          hdx[idx], hdy[idx], hdz[idx], cmask, ck)
-            return tuple(
+            vals = tuple(
                 op[i].at[idx].set(jnp.where(cmask, fb[k], op[i][idx]))
                 for i, k in enumerate(_HIT_KEYS))
+            if probe:
+                occ = shadow_redo(fb, cmask,
+                                  tuple(a[idx] for a in shadow_targets))
+                vals = vals + (op[-1].at[idx].set(
+                    jnp.where(cmask, occ, op[-1][idx])),)
+            return vals
 
         def retrace(op):
             return jax.lax.cond(n_unf <= _RETRACE_CAP,
                                 retrace_compact, retrace_full, op)
 
-        vals = jax.lax.cond(n_unf > 0, retrace, lambda op: op,
-                            tuple(out[k] for k in _HIT_KEYS))
-        return dict(zip(_HIT_KEYS, vals))
+        op0 = tuple(out[k] for k in _HIT_KEYS)
+        if probe:
+            op0 = op0 + (occluded,)
+        vals = jax.lax.cond(n_unf > 0, retrace, lambda op: op, op0)
+        res = dict(zip(_HIT_KEYS, vals[:len(_HIT_KEYS)]))
+        if probe:
+            res["occluded"] = vals[len(_HIT_KEYS)]
+        return res
 
     def hit_ignore_free(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=True,
-                        binned=False):
+                        binned=False, shadow_targets=None):
         return hit(hox, hoy, hoz, hdx, hdy, hdz, mask, coherent=coherent,
-                   binned=binned)
+                   binned=binned, shadow_targets=shadow_targets)
     dx, dy, dz = _norm3(dx, dy, dz)
     cr = jnp.zeros(n, dtype=F)
     cg = jnp.zeros(n, dtype=F)
@@ -1012,11 +1064,27 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     # elementwise), so only the final color needs unpermuting.
     perm_total = jnp.arange(n, dtype=jnp.int32) if bin_on else None
 
+    def sun_targets(cdx, cdy, cdz):
+        """Per-lane jittered sun-disk target. The jitter seed is the
+        INCOMING ray direction (brick_raytracer.comp:242: co = d.xz+d.yz),
+        known BEFORE the traversal — which is what lets the probe kernel
+        trace the shadow without any in-kernel RNG; this computation is
+        bit-identical to the post-trace jitter of the separate-launch
+        path."""
+        scox = cdx + cdz
+        scoy = cdy + cdz
+        jx, jy, jz = _rand_vec3_range_soa(scox, scoy, -sun_radius,
+                                          sun_radius)
+        return (sun_position[0] + jx, sun_position[1] + jy,
+                sun_position[2] + jz)
+
     for bounce_i in range(max_bounce):
         # dielectric-skip state can only exist after a refraction, so the
         # first bounce (and all shadow rays) take the ignore-free fast path
         if bounce_i == 0:
-            h = hit_ignore_free(ox, oy, oz, dx, dy, dz, bouncing)
+            tgt = sun_targets(dx, dy, dz) if probe else None
+            h = hit_ignore_free(ox, oy, oz, dx, dy, dz, bouncing,
+                                shadow_targets=tgt)
         else:
             if bin_on:
                 with jax.named_scope("bin_sort"):
@@ -1036,8 +1104,9 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
             # skip nothing (brick_raytracer.comp:427)
             bounce_key = jnp.where(ignore_type == MAT_DIELECTRIC,
                                    internal_refl, jnp.full(n, jnp.nan, F))
+            tgt = sun_targets(dx, dy, dz) if probe else None
             h = hit(ox, oy, oz, dx, dy, dz, bouncing, ray_key=bounce_key,
-                    coherent=False, binned=bin_on)
+                    coherent=False, binned=bin_on, shadow_targets=tgt)
         active = bouncing & h["found"]
 
         mat_idx = h["index"]
@@ -1124,24 +1193,30 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         sun_or_diffuse = active & ~is_emissive
 
         if sun_enabled:
-            scox = dx + dz
-            scoy = dy + dz
-            sx_, sy_, sz_ = _rand_vec3_range_soa(scox, scoy, -sun_radius,
-                                                 sun_radius)
-            shx = sun_position[0] + sx_ - px
-            shy = sun_position[1] + sy_ - py
-            shz = sun_position[2] + sz_ - pz
-            shx, shy, shz = _norm3(shx, shy, shz)
-            with jax.named_scope("sun_shadow"):
-                # bounce-0 shadows leave a coherent surface patch toward
-                # the sun; later bounces' shadow origins are scattered by
-                # the preceding random scatter -> concurrent serve, unless
-                # the wavefront is already region-sorted (binned) — then
-                # the shadow class rides the same order for free
-                sh = hit_ignore_free(px, py, pz, shx, shy, shz, active,
-                                     coherent=bounce_i == 0,
-                                     binned=bin_on and bounce_i > 0)
-            lit = sun_or_diffuse & ~sh["found"]
+            if probe:
+                # the probe kernel already traced this bounce's sun ray
+                # in the scatter launch (from the resident region block)
+                sh_found = h["occluded"]
+            else:
+                scox = dx + dz
+                scoy = dy + dz
+                sx_, sy_, sz_ = _rand_vec3_range_soa(scox, scoy, -sun_radius,
+                                                     sun_radius)
+                shx = sun_position[0] + sx_ - px
+                shy = sun_position[1] + sy_ - py
+                shz = sun_position[2] + sz_ - pz
+                shx, shy, shz = _norm3(shx, shy, shz)
+                with jax.named_scope("sun_shadow"):
+                    # bounce-0 shadows leave a coherent surface patch toward
+                    # the sun; later bounces' shadow origins are scattered by
+                    # the preceding random scatter -> concurrent serve, unless
+                    # the wavefront is already region-sorted (binned) — then
+                    # the shadow class rides the same order for free
+                    sh = hit_ignore_free(px, py, pz, shx, shy, shz, active,
+                                         coherent=bounce_i == 0,
+                                         binned=bin_on and bounce_i > 0)
+                sh_found = sh["found"]
+            lit = sun_or_diffuse & ~sh_found
             cr = cr + jnp.where(lit, ar * sun_color[0], F(0.0))
             cg = cg + jnp.where(lit, ag * sun_color[1], F(0.0))
             cb = cb + jnp.where(lit, ab * sun_color[2], F(0.0))
@@ -1246,7 +1321,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 tile_max_phases: int | None = _DEFAULT_TILE_MAX_PHASES,
                 bounce_concurrent: bool = False,
                 bin_incoherent: bool | None = None,
-                sparse_roam: bool = False):
+                sparse_roam: bool = False,
+                shadow_probe: bool = False):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -1293,6 +1369,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 bounce_concurrent=bounce_concurrent,
                 bin_incoherent=bin_incoherent,
                 sparse_roam=sparse_roam,
+                shadow_probe=shadow_probe,
             ).reshape(spp, band_rows * w, 3).sum(axis=0)
         else:
             color = jnp.zeros((band_rows * w, 3), dtype=F)
@@ -1308,7 +1385,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                     image_shape=(band_rows, w),
                     bounce_concurrent=bounce_concurrent,
                     bin_incoherent=bin_incoherent,
-                    sparse_roam=sparse_roam)
+                    sparse_roam=sparse_roam,
+                    shadow_probe=shadow_probe)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 

@@ -110,7 +110,13 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
                                else bool(trace_config.bounce_concurrent)),
             bin_incoherent=(degraded if trace_config.bin_incoherent is None
                             else trace_config.bin_incoherent),
-            sparse_roam=degraded)
+            sparse_roam=degraded,
+            shadow_probe=use_pallas
+            # auto = OFF, same as the single-chip engine: the probe is
+            # bit-exact but measured slower (493.7 vs 460.4 ms default
+            # frame) than separate shadow launches
+            and (False if trace_config.sun_in_kernel is None
+                 else bool(trace_config.sun_in_kernel)))
 
     # check_vma stays ON for the XLA path: the DDA while_loop seeds its
     # carries from the (tile-varying) ray direction arrays so the
