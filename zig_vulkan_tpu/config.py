@@ -102,8 +102,10 @@ class TraceConfig:
     # (origin region, direction octant) before tiling, so the Pallas
     # tracer's region vote serves whole tiles instead of one straggler's
     # region per phase; dead lanes compact into tiles that retire in zero
-    # phases. None = the ZVT_BIN_BOUNCE env default (on). Only affects the
-    # Pallas path.
+    # phases. None = auto: ON for every scene (round-5 hardware A/B:
+    # 424.4 ms binned vs 481.7 unbinned default frame; the round-4 "only
+    # when degraded" policy predates the carried-cursor kernel and the
+    # sort-based unsort). Only affects the Pallas path.
     bin_incoherent: Optional[bool] = None
     # concurrent multi-region serve for the incoherent classes (diffuse
     # bounces + their shadows): march ALL resident region slots in one

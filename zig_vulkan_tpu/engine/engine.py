@@ -150,13 +150,14 @@ class VoxelRT:
                 region_blocks=region_blocks,
                 tile_interpret=jax.default_backend() == "cpu",
                 bounce_concurrent=bounce_concurrent,
-                # binning auto-policy: hardware A/B on the default scene
-                # measured the per-bounce argsort+permute at +62 ms/frame
-                # with NO gain (roaming + the region vote already serve a
-                # roamable scene's bounce classes well), so binning engages
-                # only when roaming has collapsed (degraded scenes), where
-                # coherent votes are the only lever left
-                bin_incoherent=(degraded if bin_incoherent is None
+                # binning auto-policy: ON everywhere since round 5. The
+                # round-4 A/B (argsort+permute +62 ms, no gain) was run
+                # before the carried-cursor kernel and before the unsort
+                # scatter became a sort; re-measured round 5 on hardware:
+                # 424.4 ms binned vs 481.7 unbinned default frame — the
+                # sort front-packs live lanes (33.6%/9.1%/3.4% active at
+                # bounce 1/2/shadow-2), so dead tiles retire in ~0 phases
+                bin_incoherent=(True if bin_incoherent is None
                                 else bin_incoherent),
                 # shortlist roam-through of near-empty regions: only pays
                 # (and only costs) on spray-degraded scenes

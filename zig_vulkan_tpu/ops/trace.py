@@ -1251,9 +1251,17 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
     color = jnp.stack([cr / (cr + F(1.0)), cg / (cg + F(1.0)),
                        cb / (cb + F(1.0))], axis=-1)
     if bin_on:
-        # restore pixel order: one row-scatter for the whole frame
+        # restore pixel order ONCE for the whole frame. A variadic sort
+        # keyed on perm_total (a permutation, so keys are unique and the
+        # sort IS the inverse) instead of `zeros.at[perm_total].set(color)`:
+        # XLA:TPU lowers big scatters at ~0.05 G rows/s (47 ms here) but
+        # sorts the same 1.18M lanes in ~2 ms (round-5 XProf: sort.0
+        # 1.8 ms vs fusion.200 46.9 ms).
         with jax.named_scope("bin_unsort"):
-            color = jnp.zeros_like(color).at[perm_total].set(color)
+            _, ur, ug, ub = jax.lax.sort(
+                (perm_total, color[:, 0], color[:, 1], color[:, 2]),
+                dimension=0, num_keys=1, is_stable=False)
+            color = jnp.stack([ur, ug, ub], axis=-1)
     return color
 
 

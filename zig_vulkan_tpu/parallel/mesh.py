@@ -108,7 +108,7 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
             # incoherent classes by default, degraded knobs per caller
             bounce_concurrent=(True if trace_config.bounce_concurrent is None
                                else bool(trace_config.bounce_concurrent)),
-            bin_incoherent=(degraded if trace_config.bin_incoherent is None
+            bin_incoherent=(True if trace_config.bin_incoherent is None
                             else trace_config.bin_incoherent),
             sparse_roam=degraded,
             shadow_probe=use_pallas
