@@ -274,7 +274,7 @@ def _safe_parity(sc, arrays, blocks):
         return None
 
 
-def _default_frame_ms(frames: int = 4) -> float:
+def _default_frame_ms(frames: int = 12) -> float:
     """Full default-workload frame time through the engine (1024x576,
     2 spp, 2+1 bounces, sun shadows, denoiser — main.zig:122-135): the
     second driver-captured number (round-5 verdict: the frame-time story

@@ -33,7 +33,10 @@ def main() -> None:
     carg = _sys.argv[1] if len(_sys.argv) > 1 else "a"
     concurrent = None if carg == "a" else carg == "1"
     bin_inc = (_sys.argv[2] == "1") if len(_sys.argv) > 2 else False
-    frames = int(_sys.argv[3]) if len(_sys.argv) > 3 else 6
+    # 12+ chained frames: the 6-frame measure overstates by ~70 ms/frame
+    # (dispatch ramp + tunnel sync amortization; round-5 diag — 12 chained
+    # frames land within ~3 ms of the XProf device step time)
+    frames = int(_sys.argv[3]) if len(_sys.argv) > 3 else 12
     sarg = _sys.argv[4] if len(_sys.argv) > 4 else "a"
     sun_in_kernel = None if sarg == "a" else sarg == "1"
 

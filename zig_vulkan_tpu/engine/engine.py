@@ -130,7 +130,7 @@ class VoxelRT:
         (iw, ih, ow, oh, spp, max_bounce, sun_enabled,
          dn_enabled, dn_pixel_multiplier, max_steps,
          empty_skip, temporal, row_bands, use_pallas, degraded,
-         bin_incoherent, bounce_concurrent, sun_in_kernel) = key
+         bin_incoherent, bounce_concurrent, sun_in_kernel, n_serve) = key
         static = self.grid_static
 
         def body(arrays, tables, region_blocks, mats, pc, accum):
@@ -164,7 +164,10 @@ class VoxelRT:
                 sparse_roam=degraded,
                 # round 5: sun-shadow rays traced inside the scatter
                 # launch (the kernel's shadow-probe stage)
-                shadow_probe=sun_in_kernel)
+                shadow_probe=sun_in_kernel,
+                # concurrent-serve slot count for UNBINNED incoherent
+                # wavefronts (None = 8 degraded / 4 roamable)
+                n_serve=n_serve)
             if temporal:
                 # running average over pose-static frames
                 accum = accum + (img - accum) / (pc[22] + F(1.0))
@@ -263,7 +266,11 @@ class VoxelRT:
                 # launch overhead. True opts in (A/B escape hatch).
                 self._use_pallas()
                 and (False if self.trace_config.sun_in_kernel is None
-                     else bool(self.trace_config.sun_in_kernel)))
+                     else bool(self.trace_config.sun_in_kernel)),
+                # concurrent-serve slot count for UNBINNED incoherent
+                # wavefronts (None = 8 degraded / 4 roamable, resolved in
+                # ops.trace.hit)
+                self.trace_config.n_serve)
 
     def render(self):
         """Render one frame; returns the device image f32[out_h, out_w, 3]."""

@@ -69,26 +69,21 @@ _BD = BRICK_DIMENSION
 # mlir.ir_constant). No module import may create device state.
 _EMPTY = np.uint32(0xFFFFFFFF)
 
-# Incoherent-ray (bounce scatter + bounce shadow) kernel routing knobs,
-# hardware-swept (docs/DESIGN_NOTES.md round 3):
-# - ZVT_BOUNCE_N_SERVE: regions voted+DMA'd per phase for these classes
-#   ("0" = inherit the kernel default / ZVT_N_SERVE).
-# - ZVT_BOUNCE_CONCURRENT: 1 = march all resident regions in ONE loop
-#   (n_serve shuffle trees per step), 0 = serve them sequentially with
-#   early-exit loops (1 tree per step).
-# - ZVT_DEGRADED_N_SERVE: slot count for the degraded-scene CONCURRENT
-#   serve (engine._scene_degraded; hardware-swept at 8 in round 3).
-# At the (4,16,16) region default the round-3 re-sweep measured n_serve
-# {1,2,4,8} within noise on the diffuse-bounce class (62.7-65.6 ms at
-# 1024x576) but a clean +8 ms for 8 on the scattered-origin shadow
-# class, so the default (0) inherits the kernel's 2-slot vote.
-# - ZVT_INCOH_N_SERVE: slot count for the CONCURRENT serve of incoherent
-#   classes on ROAMABLE scenes — concurrent became their default in
-#   round 4 after a hardware class sweep (benchmarks/bounce_sweep.py,
-#   first diffuse bounce at 1024x576): sequential 61.2 ms vs concurrent
-#   45.1/45.6/59.6 ms at 4/8/16 slots.
-_BOUNCE_N_SERVE = int(_os.environ.get("ZVT_BOUNCE_N_SERVE", "0"))
-_BOUNCE_CONCURRENT = _os.environ.get("ZVT_BOUNCE_CONCURRENT", "0") == "1"
+# Incoherent-ray (UNBINNED bounce scatter / bounce shadow) concurrent-serve
+# slot counts. The API knob is TraceConfig.n_serve (threaded through
+# render_rows/_ray_color_soa since round 5 — the round-3/4
+# ZVT_BOUNCE_N_SERVE / ZVT_BOUNCE_CONCURRENT envs are gone: the former
+# only reached the measured-dead sequential-serve override, the latter
+# duplicated TraceConfig.bounce_concurrent); the envs below remain as
+# sweep defaults for tuning runs only:
+# - ZVT_DEGRADED_N_SERVE: slot count on degraded scenes
+#   (engine._scene_degraded; hardware-swept at 8 in round 3).
+# - ZVT_INCOH_N_SERVE: slot count on roamable scenes — hardware class
+#   sweep (benchmarks/bounce_sweep.py, first diffuse bounce at 1024x576):
+#   sequential 61.2 ms vs concurrent 45.1/45.6/59.6 ms at 4/8/16 slots.
+# NB since round 5 the engine BINS incoherent classes by default, and a
+# binned wavefront takes the cheap sequential serve — these slots apply
+# only when binning is explicitly disabled or the wavefront is unbinned.
 _DEGRADED_N_SERVE = int(_os.environ.get("ZVT_DEGRADED_N_SERVE", "8"))
 _INCOH_N_SERVE = int(_os.environ.get("ZVT_INCOH_N_SERVE", "4"))
 
@@ -99,16 +94,17 @@ _INCOH_N_SERVE = int(_os.environ.get("ZVT_INCOH_N_SERVE", "4"))
 # measured one-region-per-phase starvation that made these classes ~85%
 # of the default frame (docs/PROFILE.md). Dead lanes sort to the end and
 # compact into all-dead tiles that retire in zero phases (the later
-# bounces' active fraction shrinks every bounce). The permutation costs
-# one argsort + one packed row-gather per bounce and one row-scatter per
-# frame — NOT per-field elementwise gathers, which would eat the win
-# (BASELINE.md: XLA gathers run ~0.1 G elems/s; row gathers charge per
-# ROW). Hardware A/B (round 4, default workload): the sort+permute costs
-# +62 ms/frame on the default ROAMABLE scene with no offsetting gain, so
-# the env default is OFF; the engine auto-enables it for degraded scenes
-# (engine._build_step), where parked phases dominate and coherent votes
-# are the lever.
-_BIN_BOUNCE = _os.environ.get("ZVT_BIN_BOUNCE", "0") == "1"
+# bounces' active fraction shrinks every bounce: 33.6%/9.1%/3.4% live at
+# bounce 1 / bounce 2 / its shadow on the default workload). The
+# permutation costs one argsort + one packed row-gather per bounce and
+# one keyed SORT per frame to restore pixel order — NOT per-field
+# elementwise gathers or a row-scatter, which would eat the win
+# (BASELINE.md: XLA gathers ~0.1 G rows/s, scatters ~0.05 G rows/s, but
+# sorts ~0.6 G lanes/s). Round-5 hardware A/B (default workload): binned
+# 424.4 vs unbinned 481.7 ms/frame — ON by default everywhere (the
+# round-4 "only when degraded" policy predates the carried-cursor kernel
+# and the sort-based unsort).
+_BIN_BOUNCE = _os.environ.get("ZVT_BIN_BOUNCE", "1") == "1"
 
 # Measured-safe default Pallas-tracer phase budgets, applied when a
 # caller leaves `tile_max_phases` at None (256 coherent / 384
@@ -845,7 +841,8 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                    image_shape=None, bounce_concurrent=False,
                    bin_incoherent: bool | None = None,
                    sparse_roam: bool = False,
-                   shadow_probe: bool = False):
+                   shadow_probe: bool = False,
+                   n_serve: int | None = None):
     n = ox.shape[0]
     # round 5: the sun-shadow PROBE — on the Pallas path each bounce
     # level's sun ray is traced INSIDE the scatter launch (the kernel's
@@ -895,12 +892,40 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         """Traversal for any ray class: the Pallas region tracer when
         enabled (all ray classes in-kernel since round 2), with an XLA
         wavefront re-trace of any lanes the kernel's phase budget could
-        not retire (runtime-skipped when none). `coherent=False` (bounce
-        rays and their shadows: random directions / scattered origins)
-        selects the CONCURRENT multi-region serve with a wider slot count
-        — divergent tiles march all resident regions in one loop instead
-        of one mostly-idle loop per region (round-3; docs/PROFILE.md
-        measured these classes at ~85% of the default frame).
+        not retire (runtime-skipped when none).
+
+        POLICY MATRIX — how each ray class of a frame routes (the knobs
+        interact; this table is the single source of truth, round-5
+        verdict item). Classes: P = primary, S0 = bounce-0 sun shadow,
+        B = diffuse bounce i>=1, Si = bounce-i>=1 sun shadow.
+
+        | class | order                  | serve                | phase cap |
+        |-------|------------------------|----------------------|-----------|
+        | P     | pixel blocks           | sequential vote      | 256       |
+        | S0    | pixel blocks           | sequential vote      | 256       |
+        | B     | bin_on: (region,octant) | sequential vote     | 384       |
+        | B     | unbinned               | concurrent, n_serve  | 384       |
+        | Si    | bin_on: rides B's sort | sequential vote      | 256       |
+        | Si    | unbinned               | concurrent, n_serve  | 256       |
+
+        - bin_on = bin_incoherent (engine default ON, round 5) and the
+          Pallas path and max_bounce > 1. Sorting front-packs live lanes
+          (dead tiles retire in ~0 phases) and gives tiles ONE dominant
+          region, so the cheap sequential serve wins; the concurrent
+          multi-slot serve exists for UNBINNED scattered wavefronts
+          (bounce_concurrent, default True) with n_serve slots (explicit
+          TraceConfig.n_serve, else 8 degraded / 4 roamable).
+        - ray_key (per-lane dielectric self-intersection skip,
+          brick_raytracer.comp:427) selects the needs_ignore kernel
+          build; NaN key lanes skip nothing.
+        - shadow_probe (sun_in_kernel) replaces the Si rows: the probe
+          kernel traces the sun ray inside B's launch; measured slower
+          on hardware, default OFF.
+        - XLA wavefront (region_blocks=None): every class takes the
+          masked while_loop DDA — the CPU/interpret path and the
+          starved-lane retrace oracle. The round-3 "XLA wavefront for
+          bounce classes under Pallas" hybrid was measured 5x worse and
+          removed; benchmarks/bounce_sweep.py mode "x" keeps the A/B.
 
         `shadow_targets=(tgx, tgy, tgz)` (round 5, Pallas path only):
         the SUN-SHADOW PROBE — the kernel traces each hit lane's sun
@@ -958,18 +983,16 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                                  image_shape=None if binned else image_shape,
                                  sparse_roam=sparse_roam,
                                  shadow_targets=shadow_targets,
-                                 # round 4: CONCURRENT is the incoherent
-                                 # classes' default on every scene (class
+                                 # round 4: CONCURRENT is the UNBINNED
+                                 # incoherent classes' default (class
                                  # sweep: 61.2 -> 45.1 ms); bounce_concurrent
                                  # = False forces the old sequential serve
                                  # (A/B escape hatch, TraceConfig)
-                                 concurrent=incoh
-                                 and (bounce_concurrent or _BOUNCE_CONCURRENT),
-                                 **({"n_serve": _DEGRADED_N_SERVE if sparse_roam
-                                     else _INCOH_N_SERVE}
-                                    if incoh and bounce_concurrent else
-                                    {"n_serve": _BOUNCE_N_SERVE}
-                                    if incoh and _BOUNCE_N_SERVE > 0
+                                 concurrent=incoh and bounce_concurrent,
+                                 **({"n_serve": n_serve if n_serve
+                                     else (_DEGRADED_N_SERVE if sparse_roam
+                                           else _INCOH_N_SERVE)}
+                                    if incoh and bounce_concurrent
                                     else {}))
         unfinished = out.pop("unfinished") & mask
         occluded = out.pop("occluded") if probe else None
@@ -1330,7 +1353,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 bounce_concurrent: bool = False,
                 bin_incoherent: bool | None = None,
                 sparse_roam: bool = False,
-                shadow_probe: bool = False):
+                shadow_probe: bool = False,
+                n_serve: int | None = None):
     """Render a band of image rows (the sharding unit). Returns
     f32[rows, W, 3] tone-mapped + gamma'd (brick_raytracer.comp:153-178).
 
@@ -1378,6 +1402,7 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                 bin_incoherent=bin_incoherent,
                 sparse_roam=sparse_roam,
                 shadow_probe=shadow_probe,
+                n_serve=n_serve,
             ).reshape(spp, band_rows * w, 3).sum(axis=0)
         else:
             color = jnp.zeros((band_rows * w, 3), dtype=F)
@@ -1394,7 +1419,8 @@ def render_rows(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
                     bounce_concurrent=bounce_concurrent,
                     bin_incoherent=bin_incoherent,
                     sparse_roam=sparse_roam,
-                    shadow_probe=shadow_probe)
+                    shadow_probe=shadow_probe,
+                    n_serve=n_serve)
         color = jnp.sqrt(color / F(spp))
         return color.reshape(band_rows, w, 3)
 

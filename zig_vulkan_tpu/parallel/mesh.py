@@ -111,6 +111,7 @@ def build_sharded_step(mesh: Mesh, static: GridStatic, *,
             bin_incoherent=(True if trace_config.bin_incoherent is None
                             else trace_config.bin_incoherent),
             sparse_roam=degraded,
+            n_serve=trace_config.n_serve,
             shadow_probe=use_pallas
             # auto = OFF, same as the single-chip engine: the probe is
             # bit-exact but measured slower (493.7 vs 460.4 ms default
