@@ -44,8 +44,17 @@ from zig_vulkan_tpu.models import scenes
 
 
 def _timed_frames(rt: VoxelRT, frames: int, move: Callable[[int], None] | None = None):
-    """Honest frame timing: chain frames, sync once via a host read."""
-    rt.render()  # compile
+    """Honest frame timing: chain frames, sync once via a host read.
+
+    The warmup render MUST be synced: under the axon tunnel, jit
+    compilation is asynchronous (the dispatch returns before the worker
+    compiles), so an unsynced warmup pushes the whole compile into the
+    timed loop — measured as a 48 s/frame "config 1" in round 5."""
+    np.asarray(rt.render())  # compile + execute, synced
+    if move is not None:
+        # compile the edit-path programs too (insert/remove/refresh)
+        move(0)
+        np.asarray(rt.render())
     img = None
     t0 = time.time()
     for i in range(frames):

@@ -883,3 +883,38 @@ def test_concurrent_serve_corner_region_no_livelock():
         "corner-region lanes livelocked in the concurrent serve")
     # every ray points at the slab from directly above: all must hit
     assert np.asarray(got["found"]).all()
+
+
+def test_padded_block_tiling_matches_strips():
+    """Image dims that don't divide the block shape are PADDED up to the
+    next (TILE_SUBLANES, TILE_LANES) multiple with dead lanes (round 5;
+    replaces the strip-tiling demotion when the overhead is <= 50%). The
+    padded-block trace must agree lane-for-lane with the unblocked
+    (strip) trace of the same wavefront."""
+    from zig_vulkan_tpu.ops.tile_tracer import grid_hit_tiles
+
+    grid, mats_t = multi_region_scene()
+    st = grid.static
+    arrays = grid.device_arrays()
+    tables = trace.build_trace_tables(st, arrays)
+    blocks = build_region_tables(st, arrays, tables)
+
+    # 12 rows x 128 wide: rows % TILE_SUBLANES(8) != 0 -> pads to 16 rows
+    # (+33% dead lanes, under the 50% strip-fallback threshold)
+    ro, rd = _rays(st, (16.0, 25.0, 70.0), w=128, h=12)
+    n = ro.shape[0]
+    args = (st, arrays, blocks,
+            jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]),
+            jnp.asarray(ro[:, 2]), jnp.asarray(rd[:, 0]),
+            jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
+            jnp.ones(n, bool))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # padding must NOT warn at +33%
+        padded = grid_hit_tiles(*args, max_phases=96, interpret=True,
+                                image_shape=(12, 128))
+    strips = grid_hit_tiles(*args, max_phases=96, interpret=True)
+    for k in ("found", "t", "index", "unfinished"):
+        np.testing.assert_array_equal(np.asarray(padded[k]),
+                                      np.asarray(strips[k]), err_msg=k)

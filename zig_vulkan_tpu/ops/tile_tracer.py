@@ -1788,23 +1788,67 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
     blocked = (image_shape is not None
                and image_shape[0] * image_shape[1] == n
                and block_permutation(image_shape[0], image_shape[1]))
-    if image_shape is not None and not blocked:
-        # Strip-tiling demotion is a measured ~3-4x slowdown (a 1-pixel-
-        # tall TILE-wide strip spans ~40 deg of ray directions at 75 deg
-        # fov; the tile's phase count is set by its most divergent lane).
-        # Say so instead of silently tracing slow — fires once per jit
-        # trace, not per frame.
+    img_pad = None
+    if (image_shape is not None and not blocked
+            and image_shape[0] * image_shape[1] == n):
+        # Image dims don't divide the block shape: PAD the image up to the
+        # next (TILE_SUBLANES, TILE_LANES) multiple with dead lanes (round
+        # 5; replaces the strip-tiling demotion, a measured ~3-4x
+        # slowdown). Dead lanes never vote/march; a fully-dead tile
+        # retires in ~0 phases, so the overhead is bounded by the pad
+        # fraction, e.g. 256x256 -> 264x256 = +3%.
+        rows_i, width_i = int(image_shape[0]), int(image_shape[1])
+        rows_p = _cdiv(rows_i, TILE_SUBLANES) * TILE_SUBLANES
+        width_p = _cdiv(width_i, TILE_LANES) * TILE_LANES
+        overhead = rows_p * width_p / n - 1.0
+        if overhead > 0.5:
+            # tiny/odd images (e.g. a 32x32 test render) would multiply
+            # their lane count; a single divergent strip tile is cheaper
+            # there — keep the old fallback and say so
+            import warnings
+
+            warnings.warn(
+                f"tile tracer: image_shape={tuple(image_shape)} would pad "
+                f"to ({rows_p}, {width_p}) pixel blocks (+{overhead:.0%} "
+                f"dead lanes > 50%); falling back to 1-pixel-tall strip "
+                f"tiles (~3-4x slower). Cheap sizes are height multiples "
+                f"of {TILE_SUBLANES}, width multiples of {TILE_LANES}.",
+                stacklevel=2)
+            img_pad = None
+        else:
+            img_pad = (rows_i, width_i, rows_p, width_p)
+    if img_pad is not None:
+        rows_i, width_i, rows_p, width_p = img_pad
+
+        def ipad(a, v=0.0):
+            im = a.reshape(rows_i, width_i)
+            im = jnp.pad(im, ((0, rows_p - rows_i), (0, width_p - width_i)),
+                         constant_values=v)
+            return im.reshape(-1)
+
+        ox, oy, oz = ipad(ox), ipad(oy), ipad(oz)
+        dx, dy, dz = ipad(dx, 1.0), ipad(dy), ipad(dz)
+        active = ipad(active, False)
+        if ray_key is not None:
+            ray_key = ipad(ray_key, np.nan)
+        if shadow_targets is not None:
+            shadow_targets = tuple(ipad(a) for a in shadow_targets)
+        n = rows_p * width_p
+        image_shape = (rows_p, width_p)
+        blocked = True
+    elif (image_shape is not None and not blocked
+          and image_shape[0] * image_shape[1] != n):
+        # rows*width != lane count (row bands that split a pixel block,
+        # ad-hoc wavefronts): genuine strip fallback — say so, it is a
+        # measured ~3-4x slowdown (a 1-pixel-tall TILE-wide strip spans
+        # ~40 deg of ray directions at 75 deg fov; the tile's phase count
+        # is set by its most divergent lane).
         import warnings
 
         warnings.warn(
-            f"tile tracer: image_shape={tuple(image_shape)} cannot be "
-            f"re-tiled into {TILE_SUBLANES}x{TILE_LANES} pixel blocks "
-            f"(rows % {TILE_SUBLANES} != 0 or width % {TILE_LANES} != 0"
-            f"{'' if image_shape[0] * image_shape[1] == n else ', or rows*width != lane count'}); "
-            f"falling back to 1-pixel-tall strip tiles (~3-4x slower). "
-            f"Fast heights are multiples of {TILE_SUBLANES} "
-            f"(e.g. 576, 720, 1080); widths multiples of {TILE_LANES}.",
-            stacklevel=2)
+            f"tile tracer: image_shape={tuple(image_shape)} does not match "
+            f"the lane count ({n}); falling back to 1-pixel-tall strip "
+            f"tiles (~3-4x slower).", stacklevel=2)
     if blocked:
         rows_i, width_i = int(image_shape[0]), int(image_shape[1])
 
@@ -1879,4 +1923,8 @@ def grid_hit_tiles(static: GridStatic, arrays: GridArrays, region_blocks,
         res["n_step"] = out["n_step"]
     if blocked:
         res = {k: _from_blocks(v, rows_i, width_i) for k, v in res.items()}
+        if img_pad is not None:
+            r0, w0, rp, wp = img_pad
+            res = {k: v.reshape(rp, wp)[:r0, :w0].reshape(-1)
+                   for k, v in res.items()}
     return res
