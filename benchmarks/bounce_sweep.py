@@ -6,10 +6,12 @@ tile's region vote (one non-empty region served per phase). This harness
 measures EXACTLY that traversal — the first diffuse bounce of the default
 workload at 1024x576 — under the kernel's routing knobs:
 
-    python benchmarks/bounce_sweep.py <n_serve> <mode 0|1|x> [reps] [max_phases]
+    python benchmarks/bounce_sweep.py <n_serve> <mode 0/1/x/b/bc> [reps] [max_phases]
 
 mode: "0" = sequential serve, "1" = concurrent serve, "x" = the XLA
-wavefront (no Pallas) on the same class.
+wavefront (no Pallas) on the same class, "b" = binned (region,octant)-
+sorted wavefront + sequential serve (the production default since round
+5), "bc" = binned + concurrent serve.
 
 It synthesizes the real bounce wavefront (trace primaries on the cached
 default scene, scatter at the hits with the engine's RNG), then times
@@ -42,9 +44,14 @@ import numpy as np
 def main() -> None:
     n_serve = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     # mode: "0" sequential serve, "1" concurrent serve, "x" = the XLA
-    # wavefront (no Pallas) on the same class
+    # wavefront (no Pallas) on the same class, "b" = BINNED wavefront
+    # (production default since round 5) + sequential serve, "bc" =
+    # binned + concurrent serve (round-5 hypothesis test: do binned
+    # tiles still diverge enough after their first region to pay for
+    # multi-slot serving?)
     mode = sys.argv[2] if len(sys.argv) > 2 else "0"
-    concurrent = mode == "1"
+    concurrent = mode in ("1", "bc")
+    binned = mode in ("b", "bc")
     xla_wavefront = mode == "x"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     max_phases = int(sys.argv[4]) if len(sys.argv) > 4 else 256
@@ -95,6 +102,17 @@ def main() -> None:
         make_bounce_rays(cv))
     n_act = int(np.asarray(act).sum())
 
+    if binned:
+        # production order (round 5): sort by (origin region, octant),
+        # dead lanes to the end. The sort+permute cost is measured
+        # separately in the engine profile (~11 ms); this harness
+        # isolates the KERNEL cost under the sorted order.
+        perm = jax.block_until_ready(tt._bin_perm(
+            static, bx, by, bz, bdx, bdy, bdz, act))
+        bx, by, bz = bx[perm], by[perm], bz[perm]
+        bdx, bdy, bdz = bdx[perm], bdy[perm], bdz[perm]
+        act = act[perm]
+
     mats = tt.materials_to_device(sc.materials)
     m = bx.shape[0]
 
@@ -118,7 +136,8 @@ def main() -> None:
                                   bdx, bdy, bdz, act,
                                   max_phases=max_phases,
                                   concurrent=concurrent, n_serve=n_serve,
-                                  image_shape=(height, width))
+                                  image_shape=None if binned
+                                  else (height, width))
             unf = jnp.sum((h["unfinished"] & act).astype(jnp.int32))
         acc = (acc + jnp.sum(h["t"] * h["found"]) * jnp.float32(1e-9)
                + jnp.float32(1.0))

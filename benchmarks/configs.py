@@ -258,6 +258,7 @@ ALL_CONFIGS = [
 def run_all(scale: float = 1.0) -> list:
     results = []
     for fn in ALL_CONFIGS:
+        print(f"# running {fn.__name__}", file=_sys.stderr, flush=True)
         r = fn(scale=scale)
         r["device"] = device_name()
         results.append(r)
