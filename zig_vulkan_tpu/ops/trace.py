@@ -903,18 +903,20 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         |-------|------------------------|----------------------|-----------|
         | P     | pixel blocks           | sequential vote      | 256       |
         | S0    | pixel blocks           | sequential vote      | 256       |
-        | B     | bin_on: (region,octant) | sequential vote     | 384       |
+        | B     | bin_on: (region,octant) | concurrent, n_serve | 384       |
         | B     | unbinned               | concurrent, n_serve  | 384       |
-        | Si    | bin_on: rides B's sort | sequential vote      | 256       |
+        | Si    | bin_on: rides B's sort | concurrent, n_serve  | 256       |
         | Si    | unbinned               | concurrent, n_serve  | 256       |
 
         - bin_on = bin_incoherent (engine default ON, round 5) and the
           Pallas path and max_bounce > 1. Sorting front-packs live lanes
           (dead tiles retire in ~0 phases) and gives tiles ONE dominant
-          region, so the cheap sequential serve wins; the concurrent
-          multi-slot serve exists for UNBINNED scattered wavefronts
-          (bounce_concurrent, default True) with n_serve slots (explicit
-          TraceConfig.n_serve, else 8 degraded / 4 roamable).
+          first region; lanes still diverge after it, so ALL incoherent
+          classes take the concurrent multi-slot serve
+          (bounce_concurrent, default True; measured round 5 on the
+          binned bounce-1 wavefront: sequential 44.8 ms vs concurrent-4
+          33.7 ms) with n_serve slots (explicit TraceConfig.n_serve,
+          else 8 degraded / 4 roamable).
         - ray_key (per-lane dielectric self-intersection skip,
           brick_raytracer.comp:427) selects the needs_ignore kernel
           build; NaN key lanes skip nothing.
@@ -967,11 +969,15 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
                 mp += 128
         else:
             mp = tile_max_phases
-        # a BINNED wavefront is sorted by (origin region, octant): its
-        # tiles vote coherently like primary bundles, so they take the
-        # cheap sequential serve (1 shuffle tree per step) instead of the
-        # concurrent multi-region machinery built for unsorted scatter
-        incoh = not coherent and not binned
+        # a BINNED wavefront is sorted by (origin region, octant), but its
+        # lanes still diverge after their first region (random directions
+        # within the octant) — round-5 hardware sweep on the real binned
+        # bounce-1 wavefront (benchmarks/bounce_sweep.py modes b/bc):
+        # sequential 44.8 ms vs concurrent 38.3/33.7/35.9 ms at 2/4/8
+        # slots, so binned incoherent classes take the CONCURRENT serve
+        # too (round-4 assumed binned tiles vote coherently like primary
+        # bundles; measured wrong once binning became the default)
+        incoh = not coherent
         with jax.named_scope("traverse_tiles"
                              if ray_key is None else "traverse_tiles_ignore"):
             out = grid_hit_tiles(static, arrays, region_blocks,
