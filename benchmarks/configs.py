@@ -52,8 +52,14 @@ def _timed_frames(rt: VoxelRT, frames: int, move: Callable[[int], None] | None =
     timed loop — measured as a 48 s/frame "config 1" in round 5."""
     np.asarray(rt.render())  # compile + execute, synced
     if move is not None:
-        # compile the edit-path programs too (insert/remove/refresh)
+        # compile the edit-path programs too. move(i) alternates
+        # insert/remove (config 3), so BOTH warmups are needed — an
+        # unwarmed remove path put a fresh compile inside the timed loop
+        # (round-5 measurement archaeology: 1.35-2.9 s/frame recorded
+        # where the true steady state is ~0.64 s)
         move(0)
+        np.asarray(rt.render())
+        move(1)
         np.asarray(rt.render())
     img = None
     t0 = time.time()

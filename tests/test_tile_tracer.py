@@ -384,11 +384,13 @@ def test_bin_perm_groups_and_sinks_dead_lanes():
     d = rng.normal(size=(3, n)).astype(np.float32)
     d /= np.linalg.norm(d, axis=0, keepdims=True)
     live = rng.random(n) < 0.5
-    perm = np.asarray(trace._bin_perm(
+    key = np.asarray(trace._bin_perm(
         st, jnp.asarray(o[0]), jnp.asarray(o[1]), jnp.asarray(o[2]),
         jnp.asarray(d[0]), jnp.asarray(d[1]), jnp.asarray(d[2]),
         jnp.asarray(live)))
-    assert sorted(perm.tolist()) == list(range(n))  # a true permutation
+    # _bin_perm returns the sort KEY; the state is moved by a stable
+    # variadic sort on it (_sort_rows), so the effective permutation is
+    perm = np.argsort(key, kind="stable")
     live_sorted = live[perm]
     n_live = int(live.sum())
     assert live_sorted[:n_live].all() and not live_sorted[n_live:].any()
@@ -403,20 +405,25 @@ def test_bin_perm_groups_and_sinks_dead_lanes():
     assert (np.diff(rid_sorted) >= 0).all()
 
 
-def test_permute_rows_roundtrips_ints_exactly():
-    """_permute_rows carries int32 fields bitcast through f32 lanes; the
-    round trip must be bit-exact (incl. values that are f32 NaNs/denormals
-    when bitcast)."""
+def test_sort_rows_moves_all_fields_exactly():
+    """_sort_rows moves the whole SoA state with ONE stable variadic sort:
+    every field must land exactly where a stable argsort + gather would
+    put it, bit-exactly — including f32 payloads that are NaN (payload
+    operands are moved, never compared) and arbitrary int32s (they ride
+    as native int operands, no bitcast)."""
     n = 64
     rng = np.random.default_rng(2)
-    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
-    f = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    i1 = jnp.asarray(rng.integers(-2**31, 2**31 - 1, n, dtype=np.int32))
-    i2 = jnp.asarray(np.arange(n, dtype=np.int32))
-    (f_out,), (i1_out, i2_out) = trace._permute_rows(perm, (f,), (i1, i2))
-    np.testing.assert_array_equal(np.asarray(f_out), np.asarray(f)[perm])
-    np.testing.assert_array_equal(np.asarray(i1_out), np.asarray(i1)[perm])
-    np.testing.assert_array_equal(np.asarray(i2_out), np.asarray(i2)[perm])
+    key = jnp.asarray(rng.integers(0, 8, n, dtype=np.int32))  # duplicates
+    f = rng.normal(size=n).astype(np.float32)
+    f[::7] = np.nan
+    i1 = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int32)
+    i2 = np.arange(n, dtype=np.int32)
+    (f_out,), (i1_out, i2_out) = trace._sort_rows(
+        key, (jnp.asarray(f),), (jnp.asarray(i1), jnp.asarray(i2)))
+    perm = np.argsort(np.asarray(key), kind="stable")
+    np.testing.assert_array_equal(np.asarray(f_out), f[perm])
+    np.testing.assert_array_equal(np.asarray(i1_out), i1[perm])
+    np.testing.assert_array_equal(np.asarray(i2_out), i2[perm])
 
 
 def test_concurrent_bounce_path_matches_sequential():

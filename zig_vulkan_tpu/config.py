@@ -116,11 +116,11 @@ class TraceConfig:
     # 8 degraded). False forces the sequential serve — used by
     # benchmarks/bounce_sweep.py hardware A/Bs.
     bounce_concurrent: Optional[bool] = None
-    # slot count for that concurrent serve (applies only to UNBINNED
-    # incoherent wavefronts — the binned default takes the sequential
-    # serve). None = auto: 8 on degraded scenes / 4 on roamable ones
-    # (hardware sweeps, rounds 3-4). Replaces the round-3/4
-    # ZVT_BOUNCE_N_SERVE env plumbing (round-5 verdict item).
+    # slot count for that concurrent serve (binned AND unbinned
+    # incoherent wavefronts — since the round-5 flip, binned classes
+    # take the concurrent serve too). None = auto: 8 on degraded scenes
+    # / 4 on roamable ones (hardware sweeps, rounds 3-5). Replaces the
+    # round-3/4 ZVT_BOUNCE_N_SERVE env plumbing (round-5 verdict item).
     n_serve: Optional[int] = None
     # round 5: trace each bounce level's sun-shadow ray INSIDE the same
     # Pallas launch (the kernel's shadow-probe stage — the reference's

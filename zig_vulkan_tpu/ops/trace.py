@@ -96,9 +96,9 @@ _INCOH_N_SERVE = int(_os.environ.get("ZVT_INCOH_N_SERVE", "4"))
 # compact into all-dead tiles that retire in zero phases (the later
 # bounces' active fraction shrinks every bounce: 33.6%/9.1%/3.4% live at
 # bounce 1 / bounce 2 / its shadow on the default workload). The
-# permutation costs one argsort + one packed row-gather per bounce and
-# one keyed SORT per frame to restore pixel order — NOT per-field
-# elementwise gathers or a row-scatter, which would eat the win
+# permutation costs one variadic keyed SORT per bounce (the whole SoA
+# state rides as sort operands) and one keyed SORT per frame to restore
+# pixel order — NOT argsort + row-gathers or a row-scatter, which eat the win
 # (BASELINE.md: XLA gathers ~0.1 G rows/s, scatters ~0.05 G rows/s, but
 # sorts ~0.6 G lanes/s). Round-5 hardware A/B (default workload): binned
 # 424.4 vs unbinned 481.7 ms/frame — ON by default everywhere (the
@@ -783,8 +783,11 @@ def _bin_perm(static: GridStatic, ox, oy, oz, dx, dy, dz, live):
     Key = (region of the ray origin, direction octant): lanes that start
     in the same region marching the same direction family share (most of)
     their region sequence, so a tile of them votes coherently. Dead lanes
-    get a max key and sink to the end. Returns perm with
-    state_sorted = state[perm]."""
+    get a max key and sink to the end. Returns the int32 sort KEY (not a
+    permutation): the state is moved by a variadic `lax.sort` keyed on it
+    (see _sort_rows) — on this stack a sort streams at HBM bandwidth
+    while an argsort + 17-column row-gather pays random-row gather speed
+    (measured 1.8 + 9.4 ms vs ~2 ms for the sort at 1.18M lanes)."""
     from .tile_tracer import REGION_CELLS, region_grid
 
     ry, rz, rx = REGION_CELLS
@@ -799,22 +802,20 @@ def _bin_perm(static: GridStatic, ox, oy, oz, dx, dy, dz, live):
     rid = (cx // rx) + nx * ((cz // rz) + nz * (cy // ry))
     octant = ((dx < 0).astype(jnp.int32) + 2 * (dy < 0).astype(jnp.int32)
               + 4 * (dz < 0).astype(jnp.int32))
-    key = jnp.where(live, rid * 8 + octant, jnp.int32(1) << 30)
-    return jnp.argsort(key)
+    return jnp.where(live, rid * 8 + octant, jnp.int32(1) << 30)
 
 
-def _permute_rows(perm, f32_fields, i32_fields):
-    """Apply a lane permutation to a whole SoA state with ONE row gather:
-    int fields ride bitcast-as-f32 lanes of the same packed matrix
-    (int32<->f32 bitcast round-trips exactly)."""
-    cols = list(f32_fields) + [
-        jax.lax.bitcast_convert_type(v, F) for v in i32_fields]
-    packed = jnp.stack(cols, axis=-1)[perm]
+def _sort_rows(key, f32_fields, i32_fields):
+    """Move a whole SoA state into key order with ONE variadic stable
+    sort (all fields ride as sort operands). Equivalent to
+    `perm = argsort(key, stable); field[perm]` but ~5x cheaper at
+    wavefront sizes: the sort's merge passes stream at HBM bandwidth,
+    the row-gather pays random-row latency per lane. Mirrors the
+    sort-based UNSORT at the end of ray_color (same machine model)."""
+    ops = (key,) + tuple(f32_fields) + tuple(i32_fields)
+    out = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
     k = len(f32_fields)
-    outs_f = tuple(packed[:, i] for i in range(k))
-    outs_i = tuple(jax.lax.bitcast_convert_type(packed[:, k + i], jnp.int32)
-                   for i in range(len(i32_fields)))
-    return outs_f, outs_i
+    return out[1:1 + k], out[1 + k:]
 
 
 def ray_color(static: GridStatic, arrays: GridArrays, mats: MaterialsDevice,
@@ -1117,9 +1118,9 @@ def _ray_color_soa(static, arrays, mats, ox, oy, oz, dx, dy, dz, max_bounce,
         else:
             if bin_on:
                 with jax.named_scope("bin_sort"):
-                    perm = _bin_perm(static, ox, oy, oz, dx, dy, dz, bouncing)
-                    f32s, i32s = _permute_rows(
-                        perm,
+                    key = _bin_perm(static, ox, oy, oz, dx, dy, dz, bouncing)
+                    f32s, i32s = _sort_rows(
+                        key,
                         (ox, oy, oz, dx, dy, dz, cr, cg, cb, internal_refl,
                          odx, ody, odz),
                         (ignore_type, loop_count,
