@@ -311,6 +311,20 @@ def main() -> None:
     signal.signal(signal.SIGALRM, _timeout_handler)
     signal.alarm(BENCH_TIMEOUT_S)
 
+    # persistent executable cache — the env-var route above is silently
+    # ignored by this jax build (round-5 finding), so engage it through
+    # the config API, and seed /tmp from the committed artifact so a
+    # fresh environment (the driver's cold /tmp) skips the minutes-long
+    # remote kernel compiles. A miss just compiles as before.
+    from zig_vulkan_tpu.utils import jitcache
+    cache_dir = jitcache.enable()
+    seeded = jitcache.seed_from(
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      ".bench_jit_cache"), cache_dir)
+    if seeded:
+        print(f"# jit cache seeded: {seeded} committed entries",
+              file=sys.stderr)
+
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
     last_err = None

@@ -275,4 +275,6 @@ def run_all(scale: float = 1.0) -> list:
 if __name__ == "__main__":
     import sys
 
+    from zig_vulkan_tpu.utils import jitcache
+    jitcache.enable()  # env-var route silently ignored by this jax build
     run_all(scale=float(sys.argv[1]) if len(sys.argv) > 1 else 1.0)

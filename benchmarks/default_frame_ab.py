@@ -71,4 +71,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from zig_vulkan_tpu.utils import jitcache
+
+    jitcache.enable()  # env-var route silently ignored by this jax build
     main()

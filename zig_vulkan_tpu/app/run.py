@@ -69,6 +69,10 @@ def demo_script(frame: int, inp: Input) -> None:
 
 
 def main(argv=None) -> int:
+    # the env-var cache route above is silently ignored by this jax
+    # build; the config API engages it (utils/jitcache.py, round 5)
+    from zig_vulkan_tpu.utils import jitcache
+    jitcache.enable()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--width", type=int, default=1024)    # main.zig:23
     p.add_argument("--height", type=int, default=576)
