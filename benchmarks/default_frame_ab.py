@@ -5,7 +5,7 @@ Times one jitted engine step (the reference default workload:
 /root/reference/src/main.zig:122-135) on the DEFAULT (roamable) scene under
 a serve-policy knob combo:
 
-    python benchmarks/default_frame_ab.py <concurrent 0|1|a> <bin 0|1> [frames] [sun_in_kernel 0|1|a]
+    python benchmarks/default_frame_ab.py <concurrent 0|1|a> <bin 0|1> [frames] [sun_in_kernel 0|1|a] [n_serve]
 
 Honest chained timing (one host sync at the end). Prints one JSON line.
 Run each combo in its own process to keep compile caches honest.
@@ -39,6 +39,11 @@ def main() -> None:
     frames = int(_sys.argv[3]) if len(_sys.argv) > 3 else 12
     sarg = _sys.argv[4] if len(_sys.argv) > 4 else "a"
     sun_in_kernel = None if sarg == "a" else sarg == "1"
+    # serve slots for the concurrent incoherent serve; "a"/absent = auto
+    # (4 roamable / 8 degraded). The round-4 slot sweep that picked 4 ran
+    # at 1 spp; the merged-spp production wavefront is 2x the lanes.
+    narg = _sys.argv[5] if len(_sys.argv) > 5 else "a"
+    n_serve = None if narg == "a" else int(narg)
 
     from zig_vulkan_tpu.config import (CameraConfig, DenoiserConfig,
                                        EngineConfig, SunConfig, TraceConfig)
@@ -54,7 +59,8 @@ def main() -> None:
         denoiser=DenoiserConfig(enabled=True),
         trace=TraceConfig(bounce_concurrent=concurrent,
                           bin_incoherent=bin_inc,
-                          sun_in_kernel=sun_in_kernel)))
+                          sun_in_kernel=sun_in_kernel,
+                          n_serve=n_serve)))
     img = rt.render()  # compile + tables
     np.asarray(img)
     t0 = time.time()
@@ -65,7 +71,7 @@ def main() -> None:
     print(json.dumps({
         "workload": "default 1024x576 2spp 2+1bounce sun denoiser",
         "bounce_concurrent": concurrent, "bin_incoherent": bin_inc,
-        "sun_in_kernel": sun_in_kernel,
+        "sun_in_kernel": sun_in_kernel, "n_serve": n_serve,
         "ms_per_frame": round(dt * 1e3, 1), "fps": round(1.0 / dt, 2),
     }), flush=True)
 
