@@ -106,6 +106,16 @@ _INCOH_N_SERVE = int(_os.environ.get("ZVT_INCOH_N_SERVE", "4"))
 # and the sort-based unsort).
 _BIN_BOUNCE = _os.environ.get("ZVT_BIN_BOUNCE", "1") == "1"
 
+# ZVT_BIN_LOOKAHEAD: refine the bin key with the NEXT region along the
+# ray. (origin region, octant) gives a tile one dominant FIRST region but
+# lanes diverge immediately after it (random directions within the
+# octant); keying additionally on the region containing
+# `origin + dir * (lookahead * cell)` groups lanes that share their
+# SECOND region too, so the concurrent serve's slots stay coherent one
+# region deeper. 0 disables (the round-4/5 key). Cost: unchanged — the
+# key is a few extra VPU ops feeding the same variadic sort.
+_BIN_LOOKAHEAD = float(_os.environ.get("ZVT_BIN_LOOKAHEAD", "0"))
+
 # Measured-safe default Pallas-tracer phase budgets, applied when a
 # caller leaves `tile_max_phases` at None (256 coherent / 384
 # dielectric-skip — see the comment in `hit()`). An explicitly passed
@@ -787,22 +797,42 @@ def _bin_perm(static: GridStatic, ox, oy, oz, dx, dy, dz, live):
     permutation): the state is moved by a variadic `lax.sort` keyed on it
     (see _sort_rows) — on this stack a sort streams at HBM bandwidth
     while an argsort + 17-column row-gather pays random-row gather speed
-    (measured 1.8 + 9.4 ms vs ~2 ms for the sort at 1.18M lanes)."""
+    (measured 1.8 + 9.4 ms vs ~2 ms for the sort at 1.18M lanes).
+
+    With _BIN_LOOKAHEAD > 0, the key is refined by the region delta at
+    `o + d * (lookahead * cell)`: each axis' region step is in {-1, 0, 1}
+    (clipped), a 27-way code — compact enough that the composed key
+    `(rid * 27 + delta) * 8 + octant` stays below the 1<<30 dead-lane
+    sink even on a 512^3 grid's 131072 regions (28.3M)."""
     from .tile_tracer import REGION_CELLS, region_grid
 
     ry, rz, rx = REGION_CELLS
     ny, nz, nx = region_grid(static)
     inv_scale = F(1.0 / static.scale)
-    cx = jnp.clip(((ox - F(static.min_point[0])) * inv_scale).astype(jnp.int32),
-                  0, static.dim_x - 1)
-    cy = jnp.clip(((oy - F(static.min_point[1])) * inv_scale).astype(jnp.int32),
-                  0, static.dim_y - 1)
-    cz = jnp.clip(((oz - F(static.min_point[2])) * inv_scale).astype(jnp.int32),
-                  0, static.dim_z - 1)
-    rid = (cx // rx) + nx * ((cz // rz) + nz * (cy // ry))
+
+    def region_coords(px, py, pz):
+        cx = jnp.clip(((px - F(static.min_point[0])) * inv_scale)
+                      .astype(jnp.int32), 0, static.dim_x - 1)
+        cy = jnp.clip(((py - F(static.min_point[1])) * inv_scale)
+                      .astype(jnp.int32), 0, static.dim_y - 1)
+        cz = jnp.clip(((pz - F(static.min_point[2])) * inv_scale)
+                      .astype(jnp.int32), 0, static.dim_z - 1)
+        return cx // rx, cy // ry, cz // rz
+
+    gx, gy, gz = region_coords(ox, oy, oz)
+    rid = gx + nx * (gz + nz * gy)
     octant = ((dx < 0).astype(jnp.int32) + 2 * (dy < 0).astype(jnp.int32)
               + 4 * (dz < 0).astype(jnp.int32))
-    return jnp.where(live, rid * 8 + octant, jnp.int32(1) << 30)
+    if _BIN_LOOKAHEAD > 0:
+        la = F(_BIN_LOOKAHEAD * static.scale)
+        lx, ly, lz = region_coords(ox + dx * la, oy + dy * la, oz + dz * la)
+        delta = ((jnp.clip(lx - gx, -1, 1) + 1)
+                 + 3 * (jnp.clip(lz - gz, -1, 1) + 1)
+                 + 9 * (jnp.clip(ly - gy, -1, 1) + 1))
+        key = (rid * 27 + delta) * 8 + octant
+    else:
+        key = rid * 8 + octant
+    return jnp.where(live, key, jnp.int32(1) << 30)
 
 
 def _sort_rows(key, f32_fields, i32_fields):
